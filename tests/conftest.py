@@ -14,9 +14,14 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize registers the TPU plugin and overrides
+# jax_platforms programmatically; force CPU back before any backend use.
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
