@@ -1,0 +1,122 @@
+"""Numeric parity of the JAX encoders vs random-init HF torch models (CPU,
+eval mode). No network: HF models are constructed from local configs."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def f32_matmuls():
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+def small_wavlm_config(**over):
+    from transformers import WavLMConfig
+    kw = dict(
+        hidden_size=96, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=192, conv_dim=[32, 32, 32],
+        conv_kernel=[10, 3, 3], conv_stride=[5, 2, 2], conv_bias=False,
+        feat_extract_norm="group", num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, num_buckets=40,
+        max_bucket_distance=100, do_stable_layer_norm=False,
+        apply_spec_augment=False, mask_time_prob=0.0, mask_time_length=1,
+        layerdrop=0.0, hidden_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0,
+    )
+    kw.update(over)
+    return WavLMConfig(**kw)
+
+
+@pytest.mark.parametrize("flavor", ["base", "stable_ln"])
+def test_wavlm_parity(flavor):
+    from transformers import WavLMModel
+    from wfl_asr_tpu.models.wavlm import WavLMArch, wavlm_encode
+    from wfl_asr_tpu.models.convert import convert_wavlm
+
+    torch.manual_seed(0)
+    if flavor == "base":
+        hf_cfg = small_wavlm_config()
+    else:
+        hf_cfg = small_wavlm_config(do_stable_layer_norm=True,
+                                    feat_extract_norm="layer")
+    model = WavLMModel(hf_cfg).eval()
+
+    rng = np.random.RandomState(1)
+    audio = rng.randn(2, 3200).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        ref = model(torch.tensor(audio)).last_hidden_state.numpy()
+
+    arch = WavLMArch.from_hf_config(hf_cfg)
+    params = convert_wavlm(model.state_dict(), arch)
+    ours = np.asarray(wavlm_encode(params, arch, jnp.asarray(audio)))
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_wavlm_feature_lengths():
+    from wfl_asr_tpu.models.wavlm import WavLMArch
+    arch = WavLMArch()
+    # ~20 ms stride-320 framing with a 400-sample receptive field
+    for s in [400, 16000, 48000, 480000]:
+        expected = s
+        for k, st in zip(arch.conv_kernel, arch.conv_stride):
+            expected = (expected - k) // st + 1
+        assert arch.feature_lengths(s) == expected
+    assert arch.feature_lengths(16000) == 49
+
+
+def small_whisper_config():
+    from transformers import WhisperConfig
+    return WhisperConfig(
+        d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, num_mel_bins=80, max_source_positions=1500,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=64,
+    )
+
+
+def test_whisper_encoder_parity():
+    from transformers import WhisperModel
+    from wfl_asr_tpu.models.whisper import WhisperArch, whisper_encode
+    from wfl_asr_tpu.models.convert import convert_whisper_encoder
+
+    torch.manual_seed(0)
+    hf_cfg = small_whisper_config()
+    model = WhisperModel(hf_cfg).eval()
+
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 80, 3000).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model.encoder(torch.tensor(feats)).last_hidden_state.numpy()
+
+    arch = WhisperArch.from_hf_config(hf_cfg)
+    params = convert_whisper_encoder(model.state_dict(), arch)
+    ours = np.asarray(whisper_encode(params, arch, jnp.asarray(feats)))
+
+    assert ours.shape == ref.shape == (2, 1500, 64)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_whisper_sinusoids_match_hf():
+    from transformers import WhisperModel
+    from wfl_asr_tpu.models.whisper import sinusoidal_positions
+    model = WhisperModel(small_whisper_config()).eval()
+    ref = model.encoder.embed_positions.weight.detach().numpy()
+    ours = sinusoidal_positions(1500, 64)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)  # f32 trig eval order
+
+
+def test_whisper_arch_from_name():
+    from wfl_asr_tpu.models.whisper import whisper_arch_from_name
+    assert whisper_arch_from_name("openai/whisper-base").d_model == 512
+    assert whisper_arch_from_name("openai/whisper-small").d_model == 768
+    assert whisper_arch_from_name("whisper-large-v3").d_model == 1280
+    assert whisper_arch_from_name("openai/whisper-tiny.en").num_layers == 4

@@ -1,0 +1,155 @@
+"""Functional NN primitives over plain parameter pytrees.
+
+Design stance (SURVEY.md §7): a pure-functional model core — parameters are
+nested dicts of ``jnp.ndarray``, modules are ``init_*``/apply function pairs.
+This keeps weight conversion (HF torch → JAX), orbax checkpointing, and
+NamedSharding annotation transparent, with no framework indirection between
+the model and XLA.
+
+Conventions:
+- Linear weights are stored **[in, out]** (right-multiply form ``x @ W``),
+  i.e. transposed from torch's ``nn.Linear.weight``.
+- Conv1d weights are stored torch-style **[out, in/groups, k]** and applied
+  with ``lax.conv_general_dilated`` in NCH layout.
+- GELU is the exact erf form unless stated (torch ``nn.GELU()`` default);
+  JAX's default is the tanh approximation, so this matters for parity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — parity with torch ``nn.GELU()``/``F.gelu`` default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults so from-scratch training behaves alike)
+# ---------------------------------------------------------------------------
+
+def _uniform(rng, shape, bound):
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+def init_linear(rng, d_in: int, d_out: int, bias: bool = True):
+    """torch ``nn.Linear`` default init: kaiming_uniform(a=√5) reduces to
+    U(±1/√fan_in) for both weight and bias."""
+    wk, bk = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": _uniform(wk, (d_in, d_out), bound)}
+    if bias:
+        p["b"] = _uniform(bk, (d_out,), bound)
+    return p
+
+
+def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_layer_norm(d: int):
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis, statistics in f32 regardless of input
+    dtype (TPU-safe for bf16 activations)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def init_conv1d(rng, c_in: int, c_out: int, kernel: int, groups: int = 1,
+                bias: bool = True):
+    """torch ``nn.Conv1d`` default init (kaiming-uniform, fan-in bounds)."""
+    wk, bk = jax.random.split(rng)
+    fan_in = (c_in // groups) * kernel
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(wk, (c_out, c_in // groups, kernel), bound)}
+    if bias:
+        p["b"] = _uniform(bk, (c_out,), bound)
+    return p
+
+
+def conv1d(p, x: jnp.ndarray, stride: int = 1, padding=0, groups: int = 1,
+           dilation: int = 1) -> jnp.ndarray:
+    """x: [B, C, T] (NCH). padding: int (symmetric) or "VALID"."""
+    if isinstance(padding, int):
+        pad: Sequence[Tuple[int, int]] = [(padding, padding)]
+    elif padding == "VALID":
+        pad = [(0, 0)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def init_embedding(rng, n: int, d: int, std: float = 1.0):
+    return {"w": jax.random.normal(rng, (n, d), jnp.float32) * std}
+
+
+def embedding(p, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def group_norm(scale, bias, x: jnp.ndarray, num_groups: int,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over [B, C, T]: per-group statistics over (C/G, T)."""
+    b, c, t = x.shape
+    xf = x.astype(jnp.float32).reshape(b, num_groups, c // num_groups, t)
+    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, t)
+    return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
+
+
+def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q,k,v: [B, H, T, D]; bias: broadcastable to [B, H, T, T]; mask: [B, T]
+    (True = attend) applied as key-padding mask. Softmax in f32.
+    Returns [B, H, T, D].
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / math.sqrt(d))
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -1,0 +1,239 @@
+"""BIO phoneme tagger: encoder + language conditioning + heads + classifiers.
+
+The JAX counterpart of the reference's ``BIOPhonemeTagger`` (model.py:54-194):
+
+    audio [B, S], lang_id [B], max_label_len
+        → encoder (whisper log-mel → transformer / wavlm / mel front-end)
+        → trim-or-pad time axis to max_label_len (model.py:166-174)
+        → lang embed concat + proj (model.py:176-180)
+        → BiLSTM (optional) → Conformer × N → dilated conv (optional)
+        → logits [B, T, n_tags], offsets [B, T, 2]
+
+Differences from the reference are TPU-architectural, not observable:
+feature extraction runs on device (no host round-trip, quirk Q5),
+``max_label_len`` is a static Python int (padded-bucket batching), and
+parameters/state are explicit pytrees. ``freeze_encoder`` is implemented
+as stop_gradient on encoder output + an optax mask (instead of
+requires_grad flags), and does not crash with ``encoder_type: none``
+(reference quirk Q3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.frontend import (mel_spectrogram, wav2vec2_normalize,
+                            whisper_log_mel)
+from . import heads as H
+from .layers import init_linear, linear
+from .wavlm import WavLMArch, init_wavlm, wavlm_encode
+from .whisper import (WhisperArch, init_whisper_encoder, whisper_arch_from_name,
+                      whisper_encode)
+
+# Known WavLM checkpoint families → architecture presets (no network access).
+WAVLM_PRESETS = {
+    "base": WavLMArch(),
+    "base-plus": WavLMArch(),
+    "large": WavLMArch(hidden_size=1024, num_layers=24, num_heads=16,
+                       intermediate_size=4096, feat_extract_norm="layer",
+                       do_stable_layer_norm=True),
+}
+
+
+def wavlm_arch_from_name(model_name: str) -> WavLMArch:
+    tail = model_name.split("/")[-1].removeprefix("wavlm-")
+    if tail in WAVLM_PRESETS:
+        return WAVLM_PRESETS[tail]
+    for key in ("large", "base-plus", "base"):
+        if key in tail:
+            return WAVLM_PRESETS[key]
+    raise ValueError(f"Unknown wavlm model {model_name!r}")
+
+
+@dataclass(frozen=True)
+class TaggerArch:
+    """All static hyperparameters of the tagger (hashable, jit-friendly)."""
+    encoder_type: str                 # "whisper" | "wavlm" | "none"
+    num_labels: int
+    num_languages: int
+    hidden_size: int
+    lang_emb_dim: int = 64
+    enable_bilstm: bool = True
+    bilstm_num_layers: int = 1
+    num_conformer_layers: int = 2
+    conformer_heads: int = 4
+    conformer_ff_expansion: int = 4
+    conformer_kernel: int = 31
+    conformer_dropout: float = 0.1
+    enable_dilated_conv: bool = True
+    dilated_depth: int = 2
+    dilated_kernel: int = 3
+    freeze_encoder: bool = False
+    sample_rate: int = 16000
+    frame_duration: float = 0.02
+    n_mels: int = 80
+    wavlm: Optional[WavLMArch] = None
+    whisper: Optional[WhisperArch] = None
+
+    @classmethod
+    def from_config(cls, cfg, num_labels: int) -> "TaggerArch":
+        """Build from a ``wfl_asr_tpu.config.Config`` (defaults mirror
+        reference model.py:57-142 ``.get`` sites)."""
+        enc = cfg.encoder_type
+        wavlm = whisper = None
+        if enc == "whisper":
+            whisper = whisper_arch_from_name(cfg.encoder_name)
+            hidden = whisper.d_model
+        elif enc == "wavlm":
+            wavlm = wavlm_arch_from_name(cfg.encoder_name)
+            hidden = wavlm.hidden_size
+        elif enc in ("none", "null"):
+            enc = "none"
+            hidden = cfg.n_mels
+        else:
+            raise ValueError(
+                "Unsupported encoder type. Use 'whisper', 'wavlm', or 'none'.")
+        return cls(
+            encoder_type=enc, num_labels=num_labels,
+            num_languages=cfg.num_languages, hidden_size=hidden,
+            lang_emb_dim=cfg.lang_emb_dim,
+            enable_bilstm=cfg.enable_bilstm,
+            bilstm_num_layers=cfg.bilstm_num_layers,
+            num_conformer_layers=cfg.num_conformer_layers,
+            conformer_heads=cfg.conformer_heads,
+            conformer_ff_expansion=cfg.conformer_ff_expansion,
+            conformer_kernel=cfg.conformer_kernel_size,
+            conformer_dropout=cfg.conformer_dropout,
+            enable_dilated_conv=cfg.enable_dilated_conv,
+            dilated_depth=cfg.dilated_conv_depth,
+            dilated_kernel=cfg.dilated_conv_kernel,
+            freeze_encoder=cfg.freeze_encoder,
+            sample_rate=cfg.sample_rate, frame_duration=cfg.frame_duration,
+            n_mels=cfg.n_mels, wavlm=wavlm, whisper=whisper,
+        )
+
+
+def init_tagger(rng: jax.Array, arch: TaggerArch) -> Tuple[dict, dict]:
+    """Returns (params, state). state holds BatchNorm running stats."""
+    keys = iter(jax.random.split(rng, 16 + arch.num_conformer_layers))
+    Hd = arch.hidden_size
+
+    params: dict = {}
+    if arch.encoder_type == "whisper":
+        params["encoder"] = init_whisper_encoder(next(keys), arch.whisper)
+    elif arch.encoder_type == "wavlm":
+        params["encoder"] = init_wavlm(next(keys), arch.wavlm)
+
+    params["lang"] = H.init_lang_conditioning(next(keys), Hd,
+                                              arch.num_languages,
+                                              arch.lang_emb_dim)
+    if arch.enable_bilstm:
+        params["bilstm"] = H.init_lstm(next(keys), Hd, Hd // 2,
+                                       arch.bilstm_num_layers)
+    conformers, conformer_states = [], []
+    for _ in range(arch.num_conformer_layers):
+        p, s = H.init_conformer_block(next(keys), Hd, arch.conformer_heads,
+                                      arch.conformer_ff_expansion,
+                                      arch.conformer_kernel)
+        conformers.append(p)
+        conformer_states.append(s)
+    params["conformer"] = conformers
+    if arch.enable_dilated_conv:
+        params["dilated"] = H.init_dilated_stack(next(keys), Hd,
+                                                 arch.dilated_depth,
+                                                 arch.dilated_kernel)
+    params["classifier"] = init_linear(next(keys), Hd, arch.num_labels)
+    params["offset_head"] = H.init_offset_head(next(keys), Hd)
+
+    return params, {"conformer": conformer_states}
+
+
+class _RngStream:
+    def __init__(self, rng):
+        self._rng = rng
+
+    def pop(self):
+        if self._rng is None:
+            raise ValueError("train mode requires an rng")
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+
+def encode(params, arch: TaggerArch, audio: jnp.ndarray,
+           rng=None, deterministic: bool = True,
+           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Front-end + encoder → hidden states [B, T_enc, H], all on device."""
+    if arch.encoder_type == "whisper":
+        feats = whisper_log_mel(audio, n_mels=arch.whisper.num_mel_bins)
+        return whisper_encode(params["encoder"], arch.whisper, feats,
+                              rng=rng, deterministic=deterministic,
+                              compute_dtype=compute_dtype)
+    if arch.encoder_type == "wavlm":
+        normed = wav2vec2_normalize(audio)
+        return wavlm_encode(params["encoder"], arch.wavlm, normed,
+                            rng=rng, deterministic=deterministic,
+                            compute_dtype=compute_dtype)
+    # encoder_type "none": mel features are the hidden states (model.py:149-150)
+    hop = int(arch.frame_duration * arch.sample_rate)
+    return mel_spectrogram(audio, arch.sample_rate, 400, hop,
+                           arch.n_mels).astype(compute_dtype)
+
+
+def _trim_or_pad(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Time-axis trim/zero-pad to ``length`` (reference model.py:166-174)."""
+    t = x.shape[1]
+    if t > length:
+        return x[:, :length, :]
+    if t < length:
+        return jnp.pad(x, ((0, 0), (0, length - t), (0, 0)))
+    return x
+
+
+def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
+                 lang_id: Optional[jnp.ndarray],
+                 max_label_len: Optional[int] = None,
+                 rng: Optional[jax.Array] = None,
+                 train: bool = False,
+                 compute_dtype=jnp.float32):
+    """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
+
+    ``max_label_len`` must be a static int (padded-bucket batching);
+    ``train`` toggles dropout + BatchNorm batch statistics.
+    """
+    rngs = _RngStream(rng)
+    deterministic = not train
+
+    enc_rng = rngs.pop() if train else None
+    hidden = encode(params, arch, audio, rng=enc_rng,
+                    deterministic=deterministic, compute_dtype=compute_dtype)
+    if arch.freeze_encoder:
+        hidden = jax.lax.stop_gradient(hidden)
+
+    if max_label_len is not None:
+        hidden = _trim_or_pad(hidden, int(max_label_len))
+
+    if lang_id is not None:
+        hidden = H.lang_conditioning(params["lang"], hidden, lang_id)
+
+    if arch.enable_bilstm:
+        hidden = H.bilstm(params["bilstm"], hidden)
+
+    out = hidden
+    new_conformer_states = []
+    for p, s in zip(params["conformer"], state["conformer"]):
+        out, ns = H.conformer_block(p, s, out, arch.conformer_heads,
+                                    arch.conformer_kernel,
+                                    arch.conformer_dropout, rngs,
+                                    deterministic=deterministic, train=train)
+        new_conformer_states.append(ns)
+
+    if arch.enable_dilated_conv:
+        out = H.dilated_stack(params["dilated"], out, arch.dilated_kernel)
+
+    logits = linear(params["classifier"], out)
+    offsets = H.offset_head(params["offset_head"], out)
+    return logits, offsets, {"conformer": new_conformer_states}

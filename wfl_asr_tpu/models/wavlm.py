@@ -1,0 +1,342 @@
+"""WavLM encoder in JAX (hand-built — no upstream Flax WavLM exists).
+
+Architecture per the public WavLM model (microsoft/wavlm-base-plus family),
+matching HF ``WavLMModel`` numerics so converted checkpoints reproduce the
+reference encoder path (reference model.py:72-81, 158-161):
+
+- Conv feature encoder: 7 × Conv1d (512ch; kernels 10,3,3,3,3,2,2; strides
+  5,2,2,2,2,2,2; VALID), "group" norm flavor = GroupNorm(512, 512) after
+  layer 0 only, exact GELU. Total stride 320 → ~20 ms frames.
+- Feature projection: LayerNorm → Linear(512→H) → dropout.
+- Convolutional positional embedding: Conv1d(H,H,128,groups=16, pad 64),
+  drop last timestep (even kernel), GELU. (Weight-norm is folded into a
+  plain weight at conversion; mathematically identical at inference and an
+  equivalent parameterization for training.)
+- Transformer layers (post-LN flavor, ``do_stable_layer_norm=False``) with
+  **gated relative position bias** attention: T5-style log buckets
+  (num_buckets=320 → 160 signed, max_distance=800) embedded per head, and a
+  per-query gate g = a·(b·c − 1) + 2 with (a,b) = σ(sum-pooled 8-dim
+  projection of the query head vector), scaling the shared bias.
+
+SpecAugment is structurally absent: the reference force-disables it
+(model.py:76-79), so this implementation simply has no masking path.
+
+TPU notes: all matmuls are einsum/dot on [B,T,H] blocks (MXU-shaped); the
+position bias is computed once per sequence length and reused across layers;
+softmax/LN statistics run in f32 with bf16-castable activations.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (attention_core, conv1d, dropout, embedding, gelu,
+                     group_norm, init_conv1d, init_layer_norm, init_linear,
+                     layer_norm, linear)
+
+
+@dataclass(frozen=True)
+class WavLMArch:
+    """Architecture hyperparameters (defaults = wavlm-base/base-plus)."""
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"          # "group" (base) | "layer" (large)
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    num_buckets: int = 320
+    max_distance: int = 800
+    do_stable_layer_norm: bool = False        # True for wavlm-large
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    feat_proj_dropout: float = 0.0
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "WavLMArch":
+        return cls(
+            hidden_size=hf.hidden_size, num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            intermediate_size=hf.intermediate_size,
+            conv_dim=tuple(hf.conv_dim), conv_kernel=tuple(hf.conv_kernel),
+            conv_stride=tuple(hf.conv_stride), conv_bias=hf.conv_bias,
+            feat_extract_norm=hf.feat_extract_norm,
+            num_conv_pos_embeddings=hf.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=hf.num_conv_pos_embedding_groups,
+            num_buckets=hf.num_buckets, max_distance=hf.max_bucket_distance,
+            do_stable_layer_norm=hf.do_stable_layer_norm,
+            layer_norm_eps=hf.layer_norm_eps,
+            hidden_dropout=hf.hidden_dropout,
+            activation_dropout=hf.activation_dropout,
+            attention_dropout=hf.attention_dropout,
+            feat_proj_dropout=hf.feat_proj_dropout,
+        )
+
+    def feature_lengths(self, num_samples: int) -> int:
+        """Output frame count of the conv feature encoder for a sample count
+        (floor((L - k)/s) + 1 per layer)."""
+        length = num_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            length = (length - k) // s + 1
+        return length
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_wavlm(rng: jax.Array, arch: WavLMArch) -> dict:
+    keys = iter(jax.random.split(rng, 64 + 8 * arch.num_layers))
+    H, I = arch.hidden_size, arch.intermediate_size
+
+    conv_layers = []
+    c_in = 1
+    for i, (c_out, k) in enumerate(zip(arch.conv_dim, arch.conv_kernel)):
+        layer = {"conv": init_conv1d(next(keys), c_in, c_out, k,
+                                     bias=arch.conv_bias)}
+        if arch.feat_extract_norm == "layer" or (arch.feat_extract_norm == "group" and i == 0):
+            layer["norm"] = init_layer_norm(c_out)  # scale/bias; group uses same params
+        conv_layers.append(layer)
+        c_in = c_out
+
+    params = {
+        "feature_encoder": conv_layers,
+        "feature_projection": {
+            "ln": init_layer_norm(arch.conv_dim[-1]),
+            "proj": init_linear(next(keys), arch.conv_dim[-1], H),
+        },
+        "pos_conv": init_conv1d(next(keys), H, H, arch.num_conv_pos_embeddings,
+                                groups=arch.num_conv_pos_embedding_groups),
+        "encoder_ln": init_layer_norm(H),
+        "rel_attn_embed": {"w": jax.random.normal(next(keys),
+                                                  (arch.num_buckets, arch.num_heads),
+                                                  jnp.float32) * 0.02},
+        "layers": [],
+    }
+
+    for _ in range(arch.num_layers):
+        params["layers"].append({
+            "q": init_linear(next(keys), H, H),
+            "k": init_linear(next(keys), H, H),
+            "v": init_linear(next(keys), H, H),
+            "out": init_linear(next(keys), H, H),
+            "gru_gate_const": jnp.ones((arch.num_heads,), jnp.float32),
+            "gru_gate": init_linear(next(keys), H // arch.num_heads, 8),
+            "attn_ln": init_layer_norm(H),
+            "ff_in": init_linear(next(keys), H, I),
+            "ff_out": init_linear(next(keys), I, H),
+            "final_ln": init_layer_norm(H),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Relative position buckets (T5-style, WavLM variant)
+# ---------------------------------------------------------------------------
+
+def relative_position_buckets(length: int, num_buckets: int,
+                              max_distance: int) -> np.ndarray:
+    """Bucket matrix [T, T] (host-side, static per length)."""
+    half = num_buckets // 2
+    context = np.arange(length)[:, None]
+    memory = np.arange(length)[None, :]
+    rel = memory - context
+    buckets = (rel > 0).astype(np.int64) * half
+    rel_abs = np.abs(rel)
+    max_exact = half // 2
+    is_small = rel_abs < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel_abs, 1).astype(np.float64) / max_exact)
+        / math.log(max_distance / max_exact) * (half - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    buckets += np.where(is_small, rel_abs, large)
+    return buckets
+
+
+def position_bias(params, arch: WavLMArch, length: int) -> jnp.ndarray:
+    """Shared (ungated) relative position bias, [H, T, T]."""
+    buckets = jnp.asarray(relative_position_buckets(
+        length, arch.num_buckets, arch.max_distance))
+    values = jnp.take(params["rel_attn_embed"]["w"], buckets, axis=0)  # [T,T,H]
+    return jnp.transpose(values, (2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
+    """Raw audio [B, S] → conv features [B, T, C]."""
+    x = audio[:, None, :]                                    # [B, 1, S]
+    for i, layer in enumerate(params["feature_encoder"]):
+        x = conv1d(layer["conv"], x, stride=arch.conv_stride[i],
+                   padding="VALID")
+        if "norm" in layer:
+            if arch.feat_extract_norm == "group" and i == 0:
+                x = group_norm(layer["norm"]["scale"], layer["norm"]["bias"],
+                               x, num_groups=x.shape[1])
+            else:  # "layer": LayerNorm over channels at each timestep
+                x = jnp.swapaxes(
+                    layer_norm(layer["norm"], jnp.swapaxes(x, 1, 2)), 1, 2)
+        x = gelu(x)
+    return jnp.swapaxes(x, 1, 2)                             # [B, T, C]
+
+
+def _pos_conv_embed(params, arch: WavLMArch, x: jnp.ndarray) -> jnp.ndarray:
+    y = conv1d(params["pos_conv"], jnp.swapaxes(x, 1, 2),
+               padding=arch.num_conv_pos_embeddings // 2,
+               groups=arch.num_conv_pos_embedding_groups)
+    if arch.num_conv_pos_embeddings % 2 == 0:
+        y = y[:, :, :-1]
+    return jnp.swapaxes(gelu(y), 1, 2)
+
+
+def _gated_bias(layer, arch: WavLMArch, x: jnp.ndarray,
+                pos_bias: jnp.ndarray) -> jnp.ndarray:
+    """Per-query gate over the shared position bias → [B, H, T, T]."""
+    b, t, _ = x.shape
+    heads = arch.num_heads
+    xh = x.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)     # [B,H,T,D]
+    proj = linear(layer["gru_gate"], xh)                      # [B,H,T,8]
+    proj = proj.reshape(b, heads, t, 2, 4).sum(-1)            # [B,H,T,2]
+    gates = jax.nn.sigmoid(proj.astype(jnp.float32))
+    gate_a, gate_b = gates[..., 0], gates[..., 1]
+    const = layer["gru_gate_const"].astype(jnp.float32)[None, :, None]
+    gate = gate_a * (gate_b * const - 1.0) + 2.0              # [B,H,T]
+    return gate[..., None] * pos_bias[None].astype(jnp.float32)
+
+
+def encoder_layer(layer, arch: WavLMArch, x: jnp.ndarray,
+                  pos_bias: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None,
+                  rngs=None, deterministic: bool = True) -> jnp.ndarray:
+    b, t, H = x.shape
+    heads = arch.num_heads
+    d = H // heads
+
+    gated = _gated_bias(layer, arch, x, pos_bias)
+
+    def split(h):
+        return h.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+
+    q = split(linear(layer["q"], x))
+    k = split(linear(layer["k"], x))
+    v = split(linear(layer["v"], x))
+    attn = attention_core(q, k, v, bias=gated, mask=mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, H)
+    attn = linear(layer["out"], attn)
+
+    if not deterministic:
+        attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
+    x = x + attn
+
+    if arch.do_stable_layer_norm:
+        # pre-LN flavor (wavlm-large): LN applied before attention instead —
+        # handled by caller; this branch is unused for base configs.
+        raise NotImplementedError
+    x = layer_norm(layer["attn_ln"], x, arch.layer_norm_eps)
+
+    h = linear(layer["ff_in"], x)
+    h = gelu(h)
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.activation_dropout, False)
+    h = linear(layer["ff_out"], h)
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.hidden_dropout, False)
+    x = x + h
+    return layer_norm(layer["final_ln"], x, arch.layer_norm_eps)
+
+
+def encoder_layer_stable_ln(layer, arch: WavLMArch, x: jnp.ndarray,
+                            pos_bias: jnp.ndarray,
+                            mask: Optional[jnp.ndarray] = None,
+                            rngs=None, deterministic: bool = True) -> jnp.ndarray:
+    """Pre-LN layer flavor (``do_stable_layer_norm=True``, wavlm-large)."""
+    b, t, H = x.shape
+    heads = arch.num_heads
+    d = H // heads
+
+    residual = x
+    xn = layer_norm(layer["attn_ln"], x, arch.layer_norm_eps)
+    gated = _gated_bias(layer, arch, xn, pos_bias)
+
+    def split(h):
+        return h.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+
+    attn = attention_core(split(linear(layer["q"], xn)),
+                          split(linear(layer["k"], xn)),
+                          split(linear(layer["v"], xn)),
+                          bias=gated, mask=mask)
+    attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, H))
+    if not deterministic:
+        attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
+    x = residual + attn
+
+    h = layer_norm(layer["final_ln"], x, arch.layer_norm_eps)
+    h = gelu(linear(layer["ff_in"], h))
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.activation_dropout, False)
+    h = linear(layer["ff_out"], h)
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.hidden_dropout, False)
+    return x + h
+
+
+class _RngStream:
+    def __init__(self, rng):
+        self._rng = rng
+
+    def pop(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+
+def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 rng: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Full WavLM encoder: raw (normalized) audio [B, S] → [B, T, H].
+
+    Equivalent to HF ``WavLMModel.forward(...).last_hidden_state`` with
+    SpecAugment off (the reference's configuration, model.py:76-80).
+    """
+    rngs = _RngStream(rng) if rng is not None else None
+    audio = audio.astype(compute_dtype)
+
+    feats = feature_encoder(params, arch, audio)              # [B, T, C]
+    x = layer_norm(params["feature_projection"]["ln"], feats,
+                   arch.layer_norm_eps)
+    x = linear(params["feature_projection"]["proj"], x)
+    if not deterministic:
+        x = dropout(rngs.pop(), x, arch.feat_proj_dropout, False)
+
+    x = x + _pos_conv_embed(params, arch, x)
+    if not arch.do_stable_layer_norm:
+        x = layer_norm(params["encoder_ln"], x, arch.layer_norm_eps)
+    if not deterministic:
+        x = dropout(rngs.pop(), x, arch.hidden_dropout, False)
+
+    pos_bias = position_bias(params, arch, x.shape[1])        # [H, T, T]
+    layer_fn = (encoder_layer_stable_ln if arch.do_stable_layer_norm
+                else encoder_layer)
+    for layer in params["layers"]:
+        x = layer_fn(layer, arch, x, pos_bias, mask=mask, rngs=rngs,
+                     deterministic=deterministic)
+
+    if arch.do_stable_layer_norm:
+        x = layer_norm(params["encoder_ln"], x, arch.layer_norm_eps)
+    return x

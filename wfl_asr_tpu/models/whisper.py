@@ -1,0 +1,153 @@
+"""Whisper encoder in JAX (hand-built, pre-LN transformer).
+
+Matches HF ``WhisperModel.encoder`` numerics (the reference's whisper path,
+model.py:68-71, 152-156): conv stem (k=3 pad 1; k=3 stride 2 pad 1) with exact
+GELU, fixed sinusoidal position table added as a weight, pre-LN self-attention
+layers (k_proj has no bias; q scaled by head_dim^-0.5), final LayerNorm.
+Always consumes the fixed 30 s log-mel [B, n_mels, 3000] → [B, 1500, D].
+
+TPU notes: the whole stack is static-shape [B, 1500, D] matmuls; activations
+may be bf16 with f32 softmax/LN statistics.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (attention_core, conv1d, dropout, gelu, init_conv1d,
+                     init_layer_norm, init_linear, layer_norm, linear)
+
+
+@dataclass(frozen=True)
+class WhisperArch:
+    """Encoder hyperparameters (defaults = whisper-base)."""
+    d_model: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_mel_bins: int = 80
+    max_source_positions: int = 1500
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "WhisperArch":
+        return cls(d_model=hf.d_model, num_layers=hf.encoder_layers,
+                   num_heads=hf.encoder_attention_heads,
+                   ffn_dim=hf.encoder_ffn_dim, num_mel_bins=hf.num_mel_bins,
+                   max_source_positions=hf.max_source_positions,
+                   dropout=hf.dropout, activation_dropout=hf.activation_dropout)
+
+
+# Named presets for the public Whisper encoder family (d_model, layers, heads, ffn).
+WHISPER_PRESETS = {
+    "tiny": WhisperArch(384, 4, 6, 1536),
+    "base": WhisperArch(512, 6, 8, 2048),
+    "small": WhisperArch(768, 12, 12, 3072),
+    "medium": WhisperArch(1024, 24, 16, 4096),
+    "large": WhisperArch(1280, 32, 20, 5120),
+}
+
+
+def whisper_arch_from_name(model_name: str) -> WhisperArch:
+    """Map names like "openai/whisper-base" / "whisper-small.en" to presets."""
+    tail = model_name.split("/")[-1].removeprefix("whisper-")
+    size = tail.split(".")[0].split("-")[0]
+    if size not in WHISPER_PRESETS:
+        raise ValueError(f"Unknown whisper size in {model_name!r}")
+    return WHISPER_PRESETS[size]
+
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoid table (log-spaced, [sin | cos] concatenated)."""
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)],
+                          axis=1).astype(np.float32)
+
+
+def init_whisper_encoder(rng: jax.Array, arch: WhisperArch) -> dict:
+    keys = iter(jax.random.split(rng, 8 + 8 * arch.num_layers))
+    D, F = arch.d_model, arch.ffn_dim
+    params = {
+        "conv1": init_conv1d(next(keys), arch.num_mel_bins, D, 3),
+        "conv2": init_conv1d(next(keys), D, D, 3),
+        "embed_positions": jnp.asarray(
+            sinusoidal_positions(arch.max_source_positions, D)),
+        "ln_post": init_layer_norm(D),
+        "layers": [],
+    }
+    for _ in range(arch.num_layers):
+        params["layers"].append({
+            "attn_ln": init_layer_norm(D),
+            "q": init_linear(next(keys), D, D),
+            "k": init_linear(next(keys), D, D, bias=False),
+            "v": init_linear(next(keys), D, D),
+            "out": init_linear(next(keys), D, D),
+            "final_ln": init_layer_norm(D),
+            "ff_in": init_linear(next(keys), D, F),
+            "ff_out": init_linear(next(keys), F, D),
+        })
+    return params
+
+
+class _RngStream:
+    def __init__(self, rng):
+        self._rng = rng
+
+    def pop(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+
+def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
+                   rng: Optional[jax.Array] = None,
+                   deterministic: bool = True,
+                   compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D]."""
+    rngs = _RngStream(rng) if rng is not None else None
+    x = input_features.astype(compute_dtype)
+
+    x = gelu(conv1d(params["conv1"], x, padding=1))
+    x = gelu(conv1d(params["conv2"], x, stride=2, padding=1))
+    x = jnp.swapaxes(x, 1, 2)                                 # [B, T, D]
+    x = x + params["embed_positions"].astype(compute_dtype)[None, : x.shape[1]]
+    if not deterministic:
+        x = dropout(rngs.pop(), x, arch.dropout, False)
+
+    b, t, D = x.shape
+    heads = arch.num_heads
+    d = D // heads
+
+    def split(h):
+        return h.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+
+    for layer in params["layers"]:
+        residual = x
+        h = layer_norm(layer["attn_ln"], x)
+        attn = attention_core(split(linear(layer["q"], h)),
+                              split(linear(layer["k"], h)),
+                              split(linear(layer["v"], h)))
+        attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))
+        if not deterministic:
+            attn = dropout(rngs.pop(), attn, arch.dropout, False)
+        x = residual + attn
+
+        residual = x
+        h = layer_norm(layer["final_ln"], x)
+        h = gelu(linear(layer["ff_in"], h))
+        if not deterministic:
+            h = dropout(rngs.pop(), h, arch.activation_dropout, False)
+        h = linear(layer["ff_out"], h)
+        if not deterministic:
+            h = dropout(rngs.pop(), h, arch.dropout, False)
+        x = residual + h
+
+    return layer_norm(params["ln_post"], x)
