@@ -16,7 +16,8 @@ def f32_matmuls():
 
 
 def small_wavlm_config(**over):
-    from transformers import WavLMConfig
+    # Deep import: immune to tests that patch transformers.WavLMConfig.
+    from transformers.models.wavlm.configuration_wavlm import WavLMConfig
     kw = dict(
         hidden_size=96, num_hidden_layers=3, num_attention_heads=4,
         intermediate_size=192, conv_dim=[32, 32, 32],

@@ -1,0 +1,174 @@
+"""Checkpointing with the reference's file contract.
+
+Model checkpoints are written as torch-format ``model_step{N}.pt`` files
+containing a reference-compatible state_dict (via ``export_tagger``), so
+checkpoints interoperate with usamireko/WFL-ASR **in both directions**
+(torch-cpu is present in this environment; a ``.npz`` fallback covers
+torch-less deployments). Training state the reference never persists —
+optimizer moments, PRNG, step (quirk Q4) — goes in a sidecar
+``model_step{N}.train.npz`` so resume is exact.
+
+Rotation/best/last semantics mirror reference train.py:276-290, 420-433, 453.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_pytree_npz(path: str, tree) -> None:
+    np.savez(path, **_flatten(tree))
+
+
+def load_pytree_npz(path: str):
+    with np.load(path, allow_pickle=False) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+# ---------------------------------------------------------------------------
+# Model checkpoints (.pt contract)
+# ---------------------------------------------------------------------------
+
+def save_model_checkpoint(path: str, params, state, arch) -> None:
+    """Write a reference-compatible ``.pt`` (torch state_dict). Falls back to
+    ``.pt.npz`` when torch is unavailable."""
+    from .models.convert import export_tagger
+    host_params = jax.device_get(params)
+    host_state = jax.device_get(state)
+    sd_np = export_tagger(host_params, host_state, arch)
+    try:
+        import torch
+        sd = {k: torch.tensor(v) for k, v in sd_np.items()}
+        torch.save(sd, path)
+    except ImportError:
+        save_pytree_npz(path + ".npz", sd_np)
+
+
+def load_model_checkpoint(path: str, arch) -> Tuple[dict, dict]:
+    """Load a ``.pt`` (torch, ours or the reference's) or ``.pt.npz``."""
+    from .models.convert import convert_tagger
+    if os.path.exists(path):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return convert_tagger(sd, arch)
+    if os.path.exists(path + ".npz"):
+        flat = load_pytree_npz(path + ".npz")
+
+        class _NpWrap:
+            def __init__(self, a):
+                self._a = np.asarray(a)
+
+            def detach(self):
+                return self
+
+            def cpu(self):
+                return self
+
+            def numpy(self):
+                return self._a
+
+            @property
+            def shape(self):
+                return self._a.shape
+
+        # convert_tagger expects torch-like tensors; wrap numpy arrays.
+        wrapped = {k: _NpWrap(v) for k, v in _flatten(flat).items()}
+        # _flatten joined keys with "/" but state_dict keys contain "."
+        wrapped = {k.replace("/", "."): v for k, v in wrapped.items()}
+        return convert_tagger(wrapped, arch)
+    raise FileNotFoundError(path)
+
+
+# ---------------------------------------------------------------------------
+# Training sidecar (optimizer state etc.)
+# ---------------------------------------------------------------------------
+
+def train_sidecar_path(model_path: str) -> str:
+    return re.sub(r"\.pt$", "", model_path) + ".train.npz"
+
+
+def _keypath_str(path) -> str:
+    return jax.tree_util.keystr(path)
+
+
+def save_train_state(model_path: str, opt_state, step: int,
+                     rng_key: np.ndarray) -> None:
+    """Persist optimizer state leaves keyed by canonical jax keypaths, plus
+    step and PRNG key."""
+    leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(opt_state))[0]
+    payload = {f"opt::{_keypath_str(p)}": np.asarray(v) for p, v in leaves}
+    payload["step"] = np.int64(step)
+    payload["rng"] = np.asarray(rng_key)
+    np.savez(train_sidecar_path(model_path), **payload)
+
+
+def load_train_state(model_path: str, opt_state_template):
+    """Restore optimizer state into the template's structure. Returns
+    (opt_state, step, rng) or None if no sidecar exists."""
+    path = train_sidecar_path(model_path)
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as data:
+        stored = {k: data[k] for k in data.files}
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        opt_state_template)
+    restored = []
+    for p, template_leaf in paths_and_leaves:
+        key = f"opt::{_keypath_str(p)}"
+        if key not in stored:
+            raise ValueError(f"optimizer state missing {key!r} on resume")
+        restored.append(stored[key].astype(np.asarray(template_leaf).dtype))
+    opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+    return opt_state, int(stored["step"]), np.asarray(stored["rng"])
+
+
+def find_resume_checkpoint(save_dir: str) -> Optional[Tuple[str, int]]:
+    """Latest ``model_step{N}.pt`` in save_dir (reference train.py:420-427)."""
+    found = []
+    for name in os.listdir(save_dir):
+        m = re.fullmatch(r"model_step(\d+)\.pt(\.npz)?", name)
+        if m:
+            found.append((int(m.group(1)), name))
+    if not found:
+        return None
+    step, name = max(found)
+    return os.path.join(save_dir, name.removesuffix(".npz")), step

@@ -1,0 +1,413 @@
+"""Inference pipeline: wav → (chunked) forward → postprocess → HTK ``.lab``.
+
+Behavioral contract: reference infer.py end to end —
+
+- 30 s chunking with per-chunk re-normalization and time shifting
+  (infer.py:19-28, 98-184; quirk Q11 double-normalize preserved),
+- per-language logits/offsets **averaging** when ``lang_id`` is None
+  (infer.py:146-156, 265-276) — implemented as ONE batched forward over all
+  language ids instead of a Python loop per language,
+- ``.wfl_cache`` logits/offsets cache with the reference's exact file-name
+  scheme (infer.py:120-131, 222-229); our entries are numpy-serialized, and
+  the reference's torch-format entries load transparently when torch exists,
+- confidence gate → median filter → BIO decode with sub-frame offsets →
+  canonical→language mapping → segment merging → forced alignment
+  (infer.py:163-183, 283-319),
+- sampling flags accepted with the reference's *dead* semantics (quirk Q2:
+  the sampled ids are overwritten by the confidence/argmax path; chunked
+  inference ignores them entirely) — flag-compatible by construction.
+
+TPU architecture: audio is padded into static 1 s buckets; sample/frame masks
+make valid-frame outputs bit-equal to exact-length runs (see
+tests/test_masked_inference.py), so each (bucket, num_langs) pair compiles
+once. The confidence gate and median filter run on device; ids/offsets cross
+to host once per chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.audio import peak_normalize, read_wav, resample
+from ..labels import (Segment, align_phoneme_list, canonical_to_lang,
+                      load_langs, load_phoneme_list, load_phoneme_merge_map,
+                      merge_adjacent_segments, save_lab)
+from ..models.tagger import TaggerArch, apply_tagger
+from ..ops.postprocess import confidence_gate_ids, median_filter_ids
+from ..checkpoint import load_model_checkpoint
+
+FRAME_DURATION = 0.02          # reference infer.py:12
+MAX_SEGMENT_DURATION = 30.0    # reference infer.py:13
+BUCKET_SECONDS = 1.0           # static-shape compile granularity
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "masked", "precentered",
+                                             "compute_dtype"))
+def _forward_impl(params, state, arch, audio, lang_ids, sample_mask,
+                  frame_mask, masked: bool, precentered: bool, compute_dtype):
+    logits, offsets, _ = apply_tagger(
+        params, state, arch, audio, lang_ids,
+        sample_mask=sample_mask if masked else None,
+        frame_mask=frame_mask if masked else None,
+        precentered=precentered, compute_dtype=compute_dtype)
+    return logits, offsets
+
+
+def split_audio(audio: np.ndarray, sr: int,
+                max_duration: float = MAX_SEGMENT_DURATION) -> List[np.ndarray]:
+    """Fixed-size 30 s splits (reference infer.py:19-28)."""
+    samples_per_segment = int(max_duration * sr)
+    return [audio[start:start + samples_per_segment]
+            for start in range(0, len(audio), samples_per_segment)]
+
+
+class InferenceSession:
+    """A loaded tagger + compiled bucketed forward."""
+
+    def __init__(self, config_path: str, checkpoint_path: str,
+                 compute_dtype=jnp.float32, arch: Optional[TaggerArch] = None):
+        self.cfg = Config.load(config_path)
+        save_dir = self.cfg.save_dir
+        self.label_list = load_phoneme_list(os.path.join(save_dir, "phonemes.txt"))
+        self.label2id = {l: i for i, l in enumerate(self.label_list)}
+        self.id2label = {i: l for i, l in enumerate(self.label_list)}
+        self.lang2id = load_langs(os.path.join(save_dir, "langs.txt"))
+        self.merge_map = load_phoneme_merge_map(
+            os.path.join(save_dir, "phoneme_merge_map.json"))
+        self.arch = arch or TaggerArch.from_config(self.cfg, len(self.label_list))
+        params, state = load_model_checkpoint(checkpoint_path, self.arch)
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
+        self.compute_dtype = compute_dtype
+        self.sr = self.cfg.sample_rate
+
+    # -- compiled forward ---------------------------------------------------
+
+    def _jit_forward(self, audio, lang_ids, sample_mask, frame_mask,
+                     masked: bool, precentered: bool):
+        return _forward_impl(self.params, self.state, self.arch,
+                             audio, lang_ids, sample_mask, frame_mask,
+                             masked, precentered, self.compute_dtype)
+
+    def num_frames_for(self, num_samples: int) -> int:
+        """Frame count the reference model would emit for this exact length
+        (model called without max_label_len at inference)."""
+        if self.arch.encoder_type == "whisper":
+            return self.arch.whisper.max_source_positions
+        if self.arch.encoder_type == "wavlm":
+            return self.arch.wavlm.feature_lengths(num_samples)
+        hop = int(self.arch.frame_duration * self.sr)
+        return num_samples // hop + 1
+
+    def forward(self, audio: np.ndarray,
+                lang_ids: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact-length forward on bucketed static shapes.
+
+        audio: [S] float; lang_ids: L ids (the same audio is batched over
+        languages). Returns (logits [L, T_ref, n_tags], offsets [L, T_ref, 2]).
+        """
+        s_true = len(audio)
+        L = len(lang_ids)
+        bucket = max(int(np.ceil(s_true / (BUCKET_SECONDS * self.sr))), 1) \
+            * int(BUCKET_SECONDS * self.sr)
+        t_ref = self.num_frames_for(s_true)
+
+        precentered = False
+        if self.arch.encoder_type == "none":
+            # Host-side exact-length center padding (reflect 200), then
+            # zero-fill the bucket; the device STFT runs center=False.
+            pad_n = 200
+            centered = np.pad(audio.astype(np.float32), pad_n, mode="reflect")
+            buf = np.zeros(bucket + 2 * pad_n, np.float32)
+            buf[:len(centered)] = centered
+            batch = np.broadcast_to(buf, (L, len(buf)))
+            precentered = True
+        else:
+            buf = np.zeros(bucket, np.float32)
+            buf[:s_true] = audio
+            batch = np.broadcast_to(buf, (L, bucket))
+
+        t_pad = self.num_frames_for(bucket)
+        sample_mask = jnp.broadcast_to(
+            jnp.arange(bucket) < s_true, (L, bucket))
+        frame_mask = jnp.broadcast_to(jnp.arange(t_pad) < t_ref, (L, t_pad))
+        masked = (self.arch.encoder_type != "whisper") and (s_true != bucket)
+
+        logits, offsets = self._jit_forward(
+            jnp.asarray(np.ascontiguousarray(batch)),
+            jnp.asarray(np.asarray(lang_ids, np.int32)),
+            sample_mask, frame_mask, masked, precentered)
+        logits = np.asarray(logits[:, :t_ref])
+        offsets = np.asarray(offsets[:, :t_ref])
+        return logits, offsets
+
+    def postprocess_ids(self, logits: np.ndarray,
+                        confidence_threshold: float,
+                        median_size: int) -> np.ndarray:
+        """Device-side confidence gate + median filter → label ids [T]."""
+        o_id = self.label2id["O"]
+        ids = confidence_gate_ids(jnp.asarray(logits),
+                                  jnp.float32(confidence_threshold), o_id)
+        if median_size > 1:
+            ids = median_filter_ids(ids, median_size)
+        return np.asarray(ids)
+
+
+# ---------------------------------------------------------------------------
+# Cache (reference .wfl_cache layout)
+# ---------------------------------------------------------------------------
+
+def _cache_save(path: str, arr: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        np.save(f, arr)
+
+
+def _cache_load(path: str) -> Optional[np.ndarray]:
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            arr = np.load(f, allow_pickle=False)
+        if isinstance(arr, np.ndarray):
+            return arr
+    except ValueError:
+        pass
+    try:  # a torch-format cache written by the reference (zip archive —
+          # np.load opens it as NpzFile, hence the isinstance gate above)
+        import torch
+        val = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(val.detach().cpu().numpy(), np.float32)
+    except Exception:
+        return None
+
+
+def _squeeze_batch(arr: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    if arr is not None and arr.ndim == 3 and arr.shape[0] == 1:
+        return arr[0]
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Prediction on one audio segment (with cache + language averaging)
+# ---------------------------------------------------------------------------
+
+def _lang_name_for(session: InferenceSession, lang_id: Optional[int]):
+    if lang_id is None:
+        return None
+    for name, idx in session.lang2id.items():
+        if idx == lang_id:
+            return name
+    return None
+
+
+def _predict_segment(session: InferenceSession, segment: np.ndarray,
+                     lang_id: Optional[int],
+                     logit_path: Optional[str], offset_path: Optional[str]):
+    """Forward one segment (all langs batched + averaged when lang_id is
+    None), honoring/filling the cache. Returns (logits [T,n], offsets [T,2])."""
+    logits = offsets = None
+    if logit_path is not None:
+        logits = _squeeze_batch(_cache_load(logit_path))
+        if logits is not None:
+            print(f"Loaded cached logits for {os.path.basename(logit_path)}")
+            offsets = _squeeze_batch(_cache_load(offset_path))
+
+    if logits is None:
+        if lang_id is not None:
+            if session.lang2id and lang_id > max(session.lang2id.values()):
+                raise ValueError(
+                    f"Language ID {lang_id} is invalid. "
+                    f"Available: {session.lang2id}")
+            lang_ids = [lang_id]
+        else:
+            lang_ids = sorted(session.lang2id.values()) or [0]
+        batched_logits, batched_offsets = session.forward(segment, lang_ids)
+        logits = batched_logits.mean(axis=0)
+        offsets = batched_offsets.mean(axis=0)
+        if logit_path is not None:
+            _cache_save(logit_path, logits)
+            _cache_save(offset_path, offsets)
+    return logits, offsets
+
+
+def _decode_segment(session: InferenceSession, logits: np.ndarray,
+                    offsets: Optional[np.ndarray],
+                    confidence_threshold: float, median_size: int,
+                    lang_name: Optional[str]) -> List[Segment]:
+    """Gate → median → BIO decode → canonical→lang mapping
+    (reference infer.py:163-179)."""
+    from ..labels import decode_bio_tags
+    ids = session.postprocess_ids(logits, confidence_threshold, median_size)
+    tags = [session.id2label[int(i)] for i in ids]
+    segments = decode_bio_tags(tags, frame_duration=FRAME_DURATION,
+                               offsets=offsets)
+    if session.merge_map and lang_name:
+        segments = [(s, e, canonical_to_lang(ph, lang_name, session.merge_map))
+                    for s, e, ph in segments]
+    return segments
+
+
+def process_segments(session: InferenceSession, segments: List[np.ndarray],
+                     sr: int, lang_id: Optional[int],
+                     cache_dir: Optional[str], base_name: Optional[str],
+                     confidence_threshold: float) -> List[Segment]:
+    """Chunked-path processing (reference infer.py:98-184)."""
+    all_segments: List[Segment] = []
+    current_time = 0.0
+    lang_name = _lang_name_for(session, lang_id)
+    median_size = session.cfg.median_filter
+    lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
+
+    for idx, segment in enumerate(segments):
+        if len(segment) > 0:
+            segment = segment / (np.max(np.abs(segment)) + 1e-8)  # Q11
+
+        logit_path = offset_path = None
+        if cache_dir is not None and base_name is not None:
+            logit_path = os.path.join(
+                cache_dir, f"{base_name}_seg{idx}{lang_suffix}_logits.pt")
+            offset_path = os.path.join(
+                cache_dir, f"{base_name}_seg{idx}{lang_suffix}_offsets.pt")
+
+        logits, offsets = _predict_segment(session, segment, lang_id,
+                                           logit_path, offset_path)
+        decoded = _decode_segment(session, logits, offsets,
+                                  confidence_threshold, median_size,
+                                  lang_name)
+        all_segments.extend([(s + current_time, e + current_time, ph)
+                             for s, e, ph in decoded])
+        current_time += len(segment) / sr
+    return all_segments
+
+
+# ---------------------------------------------------------------------------
+# Public API (mirrors reference infer.py signatures)
+# ---------------------------------------------------------------------------
+
+_SESSION_CACHE: Dict[Tuple[str, str], InferenceSession] = {}
+
+
+def _get_session(config_path: str, checkpoint_path: str) -> InferenceSession:
+    key = (os.path.abspath(config_path), os.path.abspath(checkpoint_path))
+    if key not in _SESSION_CACHE:
+        _SESSION_CACHE[key] = InferenceSession(config_path, checkpoint_path)
+    return _SESSION_CACHE[key]
+
+
+def infer_audio(audio_path: str, config_path: str = "config.yaml",
+                checkpoint_path: str = "best_model.pt",
+                output_lab_path: Optional[str] = None,
+                device: str = "tpu", lang_id: Optional[int] = None,
+                sample: bool = False, top_k: int = 0, top_p: float = 0.0,
+                temperature: float = 1.0,
+                confidence_threshold: float = 0.0) -> List[Segment]:
+    """Single-file inference → segments (+ optional ``.lab``), mirroring
+    reference infer.py:186-328. ``sample``/``top_k``/``top_p``/``temperature``
+    are accepted for CLI compatibility; like the reference, they do not
+    change the output (quirk Q2)."""
+    del device, sample, top_k, top_p, temperature
+    session = _get_session(config_path, checkpoint_path)
+
+    lang_name = _lang_name_for(session, lang_id)
+
+    # Forced phoneme list from the sibling .txt (infer.py:210-215)
+    phoneme_txt = audio_path.replace(".wav", ".txt")
+    forced = None
+    if os.path.exists(phoneme_txt):
+        forced = []
+        with open(phoneme_txt, "r", encoding="utf-8") as f:
+            for line in f:
+                forced.extend(line.strip().split())
+        print(f"Loaded forced phoneme list with {len(forced)} phonemes.")
+
+    audio, sr = read_wav(audio_path)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)  # downmix; reference assumes mono input
+    if sr != session.sr:
+        audio = resample(audio, sr, session.sr)
+        sr = session.sr
+    audio = np.asarray(audio, np.float64)
+
+    base_name = os.path.splitext(os.path.basename(audio_path))[0]
+    cache_dir = os.path.join(os.path.dirname(audio_path), ".wfl_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
+
+    if len(audio) > 0:
+        audio = peak_normalize(audio, eps=1e-8)
+
+    median_size = session.cfg.median_filter
+    if len(audio) / sr > MAX_SEGMENT_DURATION:
+        print(f"Audio is too long ({len(audio)/sr:.1f}s), splitting...")
+        segments_pred = process_segments(
+            session, split_audio(audio, sr), sr, lang_id,
+            cache_dir, base_name, confidence_threshold)
+    else:
+        logit_path = os.path.join(cache_dir,
+                                  f"{base_name}{lang_suffix}_logits.pt")
+        offset_path = os.path.join(cache_dir,
+                                   f"{base_name}{lang_suffix}_offsets.pt")
+        logits, offsets = _predict_segment(session, audio, lang_id,
+                                           logit_path, offset_path)
+        segments_pred = _decode_segment(session, logits, offsets,
+                                        confidence_threshold, median_size,
+                                        lang_name)
+
+    if session.cfg.merge_segments != "none":
+        segments_pred = merge_adjacent_segments(
+            segments_pred, mode=session.cfg.merge_segments)
+
+    if forced is not None:
+        aligned = align_phoneme_list(segments_pred, forced)
+        if "SP" not in forced and "AP" not in forced:
+            # Keep leading/trailing silence segments (infer.py:314-317)
+            before = [s for s in segments_pred
+                      if s[2] in ("SP", "AP") and aligned and s[1] <= aligned[0][0]]
+            after = [s for s in segments_pred
+                     if s[2] in ("SP", "AP") and aligned and s[0] >= aligned[-1][1]]
+            segments_pred = before + aligned + after
+        else:
+            segments_pred = aligned
+
+    if output_lab_path:
+        dir_path = os.path.dirname(output_lab_path)
+        if dir_path:
+            os.makedirs(dir_path, exist_ok=True)
+        save_lab(output_lab_path, segments_pred)
+        print(f"Predictions saved to: {output_lab_path}")
+
+    return segments_pred
+
+
+def infer_folder(folder_path: str, config_path: str = "config.yaml",
+                 checkpoint_path: str = "best_model.pt",
+                 output_dir: str = "outputs", device: str = "tpu",
+                 lang_id: Optional[int] = None, sample: bool = False,
+                 top_k: int = 0, top_p: float = 0.0, temperature: float = 1.0,
+                 confidence_threshold: float = 0.0) -> None:
+    """Folder inference (reference infer.py:330-357)."""
+    wav_files = [f for f in os.listdir(folder_path)
+                 if f.lower().endswith(".wav")]
+    os.makedirs(output_dir, exist_ok=True)
+
+    for wav_file in wav_files:
+        print(f"\nInferencing: {wav_file}")
+        segments = infer_audio(
+            audio_path=os.path.join(folder_path, wav_file),
+            config_path=config_path, checkpoint_path=checkpoint_path,
+            output_lab_path=os.path.join(output_dir,
+                                         wav_file.replace(".wav", ".lab")),
+            device=device, lang_id=lang_id, sample=sample, top_k=top_k,
+            top_p=top_p, temperature=temperature,
+            confidence_threshold=confidence_threshold)
+        print("Predicted segments:")
+        for start, end, ph in segments:
+            print(f"({round(start, 2)}, {round(end, 2)}, {ph})")

@@ -58,11 +58,17 @@ def init_lstm(rng, input_size: int, hidden_size: int, num_layers: int,
     return layers
 
 
-def _lstm_direction(p, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+def _lstm_direction(p, x: jnp.ndarray, reverse: bool,
+                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """One LSTM direction over [B, T, in] → [B, T, hidden].
 
     The input projection is hoisted into a single time-parallel matmul; the
     scan carries only (h, c) and does the [B,H]×[H,4H] recurrent product.
+
+    ``mask`` [B, T] (True = valid, right-padded): in the reverse direction the
+    carry is reset to the initial state while scanning padded tail frames, so
+    outputs on valid frames equal an exact-length run. The forward direction
+    is causal and needs no masking.
     """
     b, t, _ = x.shape
     h_dim = p["w_hh"].shape[0]
@@ -71,9 +77,16 @@ def _lstm_direction(p, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
         gates_x = jnp.flip(gates_x, axis=1)
 
     w_hh = p["w_hh"].astype(x.dtype)
+    use_mask = reverse and mask is not None
+    if use_mask:
+        mask_seq = jnp.swapaxes(jnp.flip(mask, axis=1), 0, 1)  # [T, B]
 
-    def step(carry, gx):
+    def step(carry, inputs):
         h, c = carry
+        if use_mask:
+            gx, m = inputs
+        else:
+            gx = inputs
         gates = gx + h @ w_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)   # torch gate order
         i = jax.nn.sigmoid(i)
@@ -82,22 +95,29 @@ def _lstm_direction(p, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
         h = o * jnp.tanh(c)
+        if use_mask:
+            keep = m[:, None].astype(h.dtype)
+            h = h * keep
+            c = c * keep
         return (h, c), h
 
     init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1))
+    xs = (jnp.swapaxes(gates_x, 0, 1), mask_seq) if use_mask \
+        else jnp.swapaxes(gates_x, 0, 1)
+    _, hs = jax.lax.scan(step, init, xs)
     hs = jnp.swapaxes(hs, 0, 1)                       # [B, T, H]
     if reverse:
         hs = jnp.flip(hs, axis=1)
     return hs
 
 
-def bilstm(params: list, x: jnp.ndarray) -> jnp.ndarray:
+def bilstm(params: list, x: jnp.ndarray,
+           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Stacked (bi)LSTM, torch ``nn.LSTM(batch_first=True)`` semantics."""
     for dirs in params:
         outs = [_lstm_direction(dirs[0], x, reverse=False)]
         if len(dirs) == 2:
-            outs.append(_lstm_direction(dirs[1], x, reverse=True))
+            outs.append(_lstm_direction(dirs[1], x, reverse=True, mask=mask))
         x = jnp.concatenate(outs, axis=-1)
     return x
 
@@ -186,10 +206,16 @@ def init_conformer_block(rng, dim: int, heads: int, ff_expansion: int,
 
 def conformer_block(params, state, x: jnp.ndarray, heads: int,
                     conv_kernel: int, drop_rate: float, rngs,
-                    deterministic: bool, train: bool):
+                    deterministic: bool, train: bool,
+                    mask: Optional[jnp.ndarray] = None):
     """Macaron FF halves, post-LN MHSA, conv module with **full** k-wide conv
     + BatchNorm, no final LayerNorm (reference model.py:40-52). Returns
-    (y, new_state)."""
+    (y, new_state).
+
+    ``mask`` [B, T] (inference-only, right-padded buckets): key-padding mask
+    for attention, and the main conv's input is zeroed on padded frames so
+    valid frames see exactly the zero padding an exact-length run would.
+    """
     b, t, dim = x.shape
     d = dim // heads
 
@@ -200,7 +226,8 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
 
     attn = attention_core(split(linear(params["q"], x)),
                           split(linear(params["k"], x)),
-                          split(linear(params["v"], x)))
+                          split(linear(params["v"], x)),
+                          mask=mask)
     attn = linear(params["attn_out"],
                   attn.transpose(0, 2, 1, 3).reshape(b, t, dim))
     # torch MultiheadAttention applies dropout to attention *weights*; with
@@ -215,6 +242,8 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     h = conv1d(params["conv_pw1"], h)                        # [B, 2C, T]
     a, g = jnp.split(h, 2, axis=1)                           # GLU(dim=1)
     h = a * jax.nn.sigmoid(g)
+    if mask is not None:
+        h = h * mask[:, None, :].astype(h.dtype)
     h = conv1d(params["conv_main"], h, padding=conv_kernel // 2)
     h, new_bn = batch_norm(params["bn"], state["bn"], h, train)
     h = gelu(h)
@@ -239,13 +268,18 @@ def init_dilated_stack(rng, dim: int, depth: int, kernel: int) -> list:
     return [init_conv1d(keys[i], dim, dim, kernel) for i in range(depth)]
 
 
-def dilated_stack(params: list, x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+def dilated_stack(params: list, x: jnp.ndarray, kernel: int,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """depth × (Conv1d(dilation=2^i, same-pad) + ReLU), reference
-    model.py:126-133. x: [B, T, C]."""
+    model.py:126-133. x: [B, T, C]. With ``mask``, each conv's input is
+    zeroed on padded frames (= exact-length zero padding)."""
     h = jnp.swapaxes(x, 1, 2)
+    mask_c = mask[:, None, :].astype(h.dtype) if mask is not None else None
     for i, p in enumerate(params):
         dilation = 2 ** i
         padding = dilation * (kernel - 1) // 2
+        if mask_c is not None:
+            h = h * mask_c
         h = conv1d(p, h, padding=padding, dilation=dilation)
         h = jax.nn.relu(h)
     return jnp.swapaxes(h, 1, 2)
@@ -257,10 +291,13 @@ def init_offset_head(rng, dim: int) -> dict:
             "conv2": init_conv1d(k2, dim, 2, 1)}
 
 
-def offset_head(params, x: jnp.ndarray) -> jnp.ndarray:
+def offset_head(params, x: jnp.ndarray,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Conv(k=3) → GELU → Conv(→2, k=1) → Sigmoid → [B, T, 2]
     (reference model.py:137-142)."""
     h = jnp.swapaxes(x, 1, 2)
+    if mask is not None:
+        h = h * mask[:, None, :].astype(h.dtype)
     h = gelu(conv1d(params["conv1"], h, padding=1))
     h = jax.nn.sigmoid(conv1d(params["conv2"], h))
     return jnp.swapaxes(h, 1, 2)

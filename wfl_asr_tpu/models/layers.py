@@ -116,12 +116,26 @@ def embedding(p, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def group_norm(scale, bias, x: jnp.ndarray, num_groups: int,
-               eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over [B, C, T]: per-group statistics over (C/G, T)."""
+               eps: float = 1e-5,
+               time_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """GroupNorm over [B, C, T]: per-group statistics over (C/G, T).
+
+    ``time_mask`` [B, T] restricts statistics to valid timesteps (bucketed
+    inference): valid positions then normalize exactly as in an exact-length
+    run; padded positions are left as garbage for downstream masking.
+    """
     b, c, t = x.shape
     xf = x.astype(jnp.float32).reshape(b, num_groups, c // num_groups, t)
-    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
-    var = jnp.var(xf, axis=(2, 3), keepdims=True)
+    if time_mask is None:
+        mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(2, 3), keepdims=True)
+    else:
+        m = time_mask.astype(jnp.float32)[:, None, None, :]   # [B,1,1,T]
+        count = jnp.maximum(jnp.sum(m, axis=(2, 3), keepdims=True), 1.0) \
+            * (c // num_groups)
+        mean = jnp.sum(xf * m, axis=(2, 3), keepdims=True) / count
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(2, 3),
+                      keepdims=True) / count
     y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, t)
     return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
 

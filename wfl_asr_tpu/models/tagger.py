@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.frontend import (mel_spectrogram, wav2vec2_normalize,
-                            whisper_log_mel)
+                            wav2vec2_normalize_masked, whisper_log_mel)
 from . import heads as H
 from .layers import init_linear, linear
 from .wavlm import WavLMArch, init_wavlm, wavlm_encode
@@ -165,22 +165,33 @@ class _RngStream:
 
 def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            rng=None, deterministic: bool = True,
-           compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Front-end + encoder → hidden states [B, T_enc, H], all on device."""
+           compute_dtype=jnp.float32,
+           sample_mask=None, frame_mask=None,
+           precentered: bool = False) -> jnp.ndarray:
+    """Front-end + encoder → hidden states [B, T_enc, H], all on device.
+
+    ``sample_mask``/``frame_mask``/``precentered`` support bucket-padded
+    single-utterance inference: statistics and attention restricted to valid
+    samples/frames so valid-frame outputs equal an exact-length run.
+    """
     if arch.encoder_type == "whisper":
         feats = whisper_log_mel(audio, n_mels=arch.whisper.num_mel_bins)
         return whisper_encode(params["encoder"], arch.whisper, feats,
                               rng=rng, deterministic=deterministic,
                               compute_dtype=compute_dtype)
     if arch.encoder_type == "wavlm":
-        normed = wav2vec2_normalize(audio)
+        if sample_mask is not None:
+            normed = wav2vec2_normalize_masked(audio, sample_mask)
+        else:
+            normed = wav2vec2_normalize(audio)
         return wavlm_encode(params["encoder"], arch.wavlm, normed,
+                            mask=frame_mask, sample_mask=sample_mask,
                             rng=rng, deterministic=deterministic,
                             compute_dtype=compute_dtype)
     # encoder_type "none": mel features are the hidden states (model.py:149-150)
     hop = int(arch.frame_duration * arch.sample_rate)
-    return mel_spectrogram(audio, arch.sample_rate, 400, hop,
-                           arch.n_mels).astype(compute_dtype)
+    return mel_spectrogram(audio, arch.sample_rate, 400, hop, arch.n_mels,
+                           center=not precentered).astype(compute_dtype)
 
 
 def _trim_or_pad(x: jnp.ndarray, length: int) -> jnp.ndarray:
@@ -198,29 +209,40 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                  max_label_len: Optional[int] = None,
                  rng: Optional[jax.Array] = None,
                  train: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 sample_mask=None, frame_mask=None,
+                 precentered: bool = False):
     """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
 
     ``max_label_len`` must be a static int (padded-bucket batching);
     ``train`` toggles dropout + BatchNorm batch statistics.
+
+    ``sample_mask`` [B, S] / ``frame_mask`` [B, T_enc] (inference-only):
+    static-shape bucketed inference with exact-length numerics on valid
+    frames. Training follows the reference's no-mask padded-batch semantics.
     """
     rngs = _RngStream(rng)
     deterministic = not train
 
     enc_rng = rngs.pop() if train else None
     hidden = encode(params, arch, audio, rng=enc_rng,
-                    deterministic=deterministic, compute_dtype=compute_dtype)
+                    deterministic=deterministic, compute_dtype=compute_dtype,
+                    sample_mask=sample_mask, frame_mask=frame_mask,
+                    precentered=precentered)
     if arch.freeze_encoder:
         hidden = jax.lax.stop_gradient(hidden)
 
     if max_label_len is not None:
         hidden = _trim_or_pad(hidden, int(max_label_len))
+        if frame_mask is not None:
+            frame_mask = _trim_or_pad(frame_mask[:, :, None],
+                                      int(max_label_len))[:, :, 0]
 
     if lang_id is not None:
         hidden = H.lang_conditioning(params["lang"], hidden, lang_id)
 
     if arch.enable_bilstm:
-        hidden = H.bilstm(params["bilstm"], hidden)
+        hidden = H.bilstm(params["bilstm"], hidden, mask=frame_mask)
 
     out = hidden
     new_conformer_states = []
@@ -228,12 +250,14 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
         out, ns = H.conformer_block(p, s, out, arch.conformer_heads,
                                     arch.conformer_kernel,
                                     arch.conformer_dropout, rngs,
-                                    deterministic=deterministic, train=train)
+                                    deterministic=deterministic, train=train,
+                                    mask=frame_mask)
         new_conformer_states.append(ns)
 
     if arch.enable_dilated_conv:
-        out = H.dilated_stack(params["dilated"], out, arch.dilated_kernel)
+        out = H.dilated_stack(params["dilated"], out, arch.dilated_kernel,
+                              mask=frame_mask)
 
     logits = linear(params["classifier"], out)
-    offsets = H.offset_head(params["offset_head"], out)
+    offsets = H.offset_head(params["offset_head"], out, mask=frame_mask)
     return logits, offsets, {"conformer": new_conformer_states}

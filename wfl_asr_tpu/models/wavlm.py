@@ -178,16 +178,32 @@ def position_bias(params, arch: WavLMArch, length: int) -> jnp.ndarray:
 # Forward
 # ---------------------------------------------------------------------------
 
-def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
-    """Raw audio [B, S] → conv features [B, T, C]."""
+def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
+                    sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Raw audio [B, S] → conv features [B, T, C].
+
+    ``sample_mask`` [B, S] (bucketed inference): GroupNorm statistics are
+    restricted to the valid conv frames, so valid outputs equal an
+    exact-length run (the VALID convs themselves never mix padded samples
+    into valid frames).
+    """
     x = audio[:, None, :]                                    # [B, 1, S]
+    valid_len = (jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
+                 if sample_mask is not None else None)       # [B]
     for i, layer in enumerate(params["feature_encoder"]):
         x = conv1d(layer["conv"], x, stride=arch.conv_stride[i],
                    padding="VALID")
+        if valid_len is not None:
+            valid_len = (valid_len - arch.conv_kernel[i]) \
+                // arch.conv_stride[i] + 1
         if "norm" in layer:
             if arch.feat_extract_norm == "group" and i == 0:
+                time_mask = None
+                if valid_len is not None:
+                    t_idx = jnp.arange(x.shape[-1])[None, :]
+                    time_mask = t_idx < valid_len[:, None]
                 x = group_norm(layer["norm"]["scale"], layer["norm"]["bias"],
-                               x, num_groups=x.shape[1])
+                               x, num_groups=x.shape[1], time_mask=time_mask)
             else:  # "layer": LayerNorm over channels at each timestep
                 x = jnp.swapaxes(
                     layer_norm(layer["norm"], jnp.swapaxes(x, 1, 2)), 1, 2)
@@ -306,6 +322,7 @@ class _RngStream:
 
 def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
+                 sample_mask: Optional[jnp.ndarray] = None,
                  rng: Optional[jax.Array] = None,
                  deterministic: bool = True,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
@@ -313,16 +330,23 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
 
     Equivalent to HF ``WavLMModel.forward(...).last_hidden_state`` with
     SpecAugment off (the reference's configuration, model.py:76-80).
+    ``mask`` [B, T_frames] / ``sample_mask`` [B, S] enable exact-length
+    numerics on bucketed inputs.
     """
     rngs = _RngStream(rng) if rng is not None else None
     audio = audio.astype(compute_dtype)
 
-    feats = feature_encoder(params, arch, audio)              # [B, T, C]
+    feats = feature_encoder(params, arch, audio, sample_mask=sample_mask)
     x = layer_norm(params["feature_projection"]["ln"], feats,
                    arch.layer_norm_eps)
     x = linear(params["feature_projection"]["proj"], x)
     if not deterministic:
         x = dropout(rngs.pop(), x, arch.feat_proj_dropout, False)
+
+    if mask is not None:
+        # Zero padded frames so they contribute nothing downstream (HF
+        # zeroes hidden states under the attention mask the same way).
+        x = x * mask[:, :, None].astype(x.dtype)
 
     x = x + _pos_conv_embed(params, arch, x)
     if not arch.do_stable_layer_norm:

@@ -203,15 +203,20 @@ def whisper_log_mel(audio: jnp.ndarray, n_mels: int = WHISPER_N_MELS,
 # torchaudio-compatible MelSpectrogram (encoder_type: none path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop", "n_mels"))
+@functools.partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop",
+                                              "n_mels", "center"))
 def mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,
                     n_fft: int = 400, hop: int = 320,
-                    n_mels: int = 80) -> jnp.ndarray:
+                    n_mels: int = 80, center: bool = True) -> jnp.ndarray:
     """``torchaudio.transforms.MelSpectrogram`` defaults as the reference
     instantiates it (model.py:85-91): hann/center/reflect, power=2, HTK mel,
     no norm, fmin 0, fmax sr/2. Output [B, T, n_mels] (already transposed to
-    time-major as model.py:150 does)."""
-    power = stft_power(audio, n_fft, hop)                     # [B, T, n_bins]
+    time-major as model.py:150 does).
+
+    ``center=False`` is for bucket-padded inference where the exact-length
+    reflect padding was already applied on host (so tail frames match an
+    exact-length run)."""
+    power = stft_power(audio, n_fft, hop, center=center)      # [B, T, n_bins]
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate,
                                     scale="htk", norm=None))
     return jnp.einsum("btf,fm->btm", power, fb,
@@ -232,4 +237,19 @@ def wav2vec2_normalize(audio: jnp.ndarray) -> jnp.ndarray:
         audio = audio[None, :]
     mean = jnp.mean(audio, axis=-1, keepdims=True)
     var = jnp.var(audio, axis=-1, keepdims=True)
+    return (audio - mean) / jnp.sqrt(var + 1e-7)
+
+
+@jax.jit
+def wav2vec2_normalize_masked(audio: jnp.ndarray,
+                              sample_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-row zero-mean/unit-variance using statistics over **valid samples
+    only** — for bucket-padded single-utterance inference, where the
+    reference normalizes the exact-length row (infer.py B=1 forward)."""
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    m = sample_mask.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(audio * m, axis=-1, keepdims=True) / count
+    var = jnp.sum(jnp.square(audio - mean) * m, axis=-1, keepdims=True) / count
     return (audio - mean) / jnp.sqrt(var + 1e-7)
