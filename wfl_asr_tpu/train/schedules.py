@@ -1,0 +1,176 @@
+"""LR schedulers with the reference's runtime semantics.
+
+The reference drives torch ``_LRScheduler`` objects imperatively: ``step()``
+after every validation by default, or after every update when
+``scheduler_step_on_update`` is set, with a ``ReduceLROnPlateau`` special
+case fed the best validation loss (reference train.py:258-259, 441-449;
+lr_schedulers.py:5-36). We mirror that with small host-side stateful objects
+producing an lr *factor* that multiplies the base learning rate injected
+into the optimizer each step.
+
+``get_scheduler`` resolves names the same way the reference does: its own
+ConstantLR/WarmupLR first, then a registry standing in for the
+pytorch-optimizer / torch.optim.lr_scheduler fallback lookup.
+"""
+
+from __future__ import annotations
+
+
+import math
+from typing import Dict, Optional, Type
+
+
+class Scheduler:
+    """Mirrors torch _LRScheduler's observable behavior: ``last_epoch`` is
+    -1 pre-init, ``step()`` increments it and recomputes the factor, and the
+    constructor performs an initial ``step()`` (so WarmupLR starts at 0)."""
+
+    needs_metric = False
+
+    def __init__(self):
+        self.last_epoch = -1
+        self.factor = 1.0
+        self.step()
+
+    def get_factor(self) -> float:
+        return 1.0
+
+    def step(self, metric_or_epoch: Optional[float] = None) -> None:
+        """torch semantics: ``step()`` increments last_epoch; ``step(epoch)``
+        jumps to that epoch (the reference passes the global step when the
+        scheduler accepts one, train.py:445-449)."""
+        if metric_or_epoch is not None:
+            self.last_epoch = int(metric_or_epoch)
+        else:
+            self.last_epoch += 1
+        self.factor = self.get_factor()
+
+
+class ConstantLR(Scheduler):
+    """reference lr_schedulers.py:5-10."""
+
+    def get_factor(self) -> float:
+        return 1.0
+
+
+class WarmupLR(Scheduler):
+    """Linear warmup over ``warmup_steps`` (reference lr_schedulers.py:12-20)."""
+
+    def __init__(self, warmup_steps: int):
+        self.warmup_steps = warmup_steps
+        super().__init__()
+
+    def get_factor(self) -> float:
+        if self.last_epoch < self.warmup_steps:
+            return self.last_epoch / self.warmup_steps
+        return 1.0
+
+
+class StepLR(Scheduler):
+    def __init__(self, step_size: int, gamma: float = 0.1):
+        self.step_size = step_size
+        self.gamma = gamma
+        super().__init__()
+
+    def get_factor(self) -> float:
+        return self.gamma ** (self.last_epoch // self.step_size)
+
+
+class ExponentialLR(Scheduler):
+    def __init__(self, gamma: float):
+        self.gamma = gamma
+        super().__init__()
+
+    def get_factor(self) -> float:
+        return self.gamma ** self.last_epoch
+
+
+class CosineAnnealingLR(Scheduler):
+    def __init__(self, T_max: int, eta_min: float = 0.0):
+        self.T_max = T_max
+        self.eta_min_ratio = eta_min  # interpreted as a factor floor
+        super().__init__()
+
+    def get_factor(self) -> float:
+        cos = (1 + math.cos(math.pi * self.last_epoch / self.T_max)) / 2
+        return self.eta_min_ratio + (1.0 - self.eta_min_ratio) * cos
+
+
+class LinearLR(Scheduler):
+    def __init__(self, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+        super().__init__()
+
+    def get_factor(self) -> float:
+        t = min(self.last_epoch, self.total_iters)
+        return self.start_factor + (self.end_factor - self.start_factor) \
+            * t / self.total_iters
+
+
+class ReduceLROnPlateau(Scheduler):
+    """torch semantics over the val metric (fed best_loss, train.py:442-443)."""
+
+    needs_metric = True
+
+    def __init__(self, mode: str = "min", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 min_lr: float = 0.0, cooldown: int = 0):
+        self.mode = mode
+        self.reduce_factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_factor = min_lr  # as a factor floor
+        self.cooldown = cooldown
+        self.cooldown_counter = 0
+        self.best: Optional[float] = None
+        self.num_bad = 0
+        super().__init__()
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
+    def step(self, metric_or_epoch: Optional[float] = None) -> None:
+        self.last_epoch += 1
+        if metric_or_epoch is None:
+            return
+        metric = float(metric_or_epoch)
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.factor = max(self.factor * self.reduce_factor,
+                                  self.min_factor)
+                self.cooldown_counter = self.cooldown
+                self.num_bad = 0
+
+
+_REGISTRY: Dict[str, Type[Scheduler]] = {
+    "ConstantLR": ConstantLR,
+    "WarmupLR": WarmupLR,
+    "StepLR": StepLR,
+    "ExponentialLR": ExponentialLR,
+    "CosineAnnealingLR": CosineAnnealingLR,
+    "LinearLR": LinearLR,
+    "ReduceLROnPlateau": ReduceLROnPlateau,
+}
+
+
+def get_scheduler(name: str, params: Optional[dict] = None) -> Scheduler:
+    """Name-based lookup (reference lr_schedulers.py:22-36)."""
+    params = params or {}
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"Scheduler '{name}' not found (available: {sorted(_REGISTRY)})")
+    return _REGISTRY[name](**params)
