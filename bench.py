@@ -1,0 +1,97 @@
+"""Benchmark: batched inference RTFx at WavLM-base on one chip.
+
+Measures the BASELINE.json north-star metric — audio-seconds processed per
+wall-second per chip for the flagship configuration (WavLM-base encoder +
+the reference's default head stack), on 30 s chunks with the device-side
+postprocess (confidence gate + median filter) included, i.e. the full
+logits→ids inference graph with one host transfer.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_sec/sec/chip", "vs_baseline": N/50}
+(vs_baseline is relative to the ≥50× real-time target; the reference itself
+publishes no numbers — BASELINE.md.)
+
+Env knobs: WFL_BENCH_BATCH (default 8), WFL_BENCH_ITERS (default 10),
+WFL_BENCH_DTYPE (bf16|f32, default bf16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from wfl_asr_tpu.models.tagger import apply_tagger, init_tagger
+    from wfl_asr_tpu.ops.postprocess import confidence_gate_ids, median_filter_ids
+    import __graft_entry__ as graft
+
+    batch = int(os.environ.get("WFL_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("WFL_BENCH_ITERS", "10"))
+    dtype_name = os.environ.get("WFL_BENCH_DTYPE", "bf16")
+    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | batch={batch} x 30s | dtype={dtype_name}")
+
+    arch = graft._flagship_arch(tiny=False)
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+
+    chunk_s = 30.0
+    samples = int(chunk_s * 16000)
+
+    @jax.jit
+    def infer(params, state, audio, lang_ids):
+        logits, offsets, _ = apply_tagger(params, state, arch, audio,
+                                          lang_ids,
+                                          compute_dtype=compute_dtype)
+        ids = confidence_gate_ids(logits, jnp.float32(0.5), 0)
+        ids = median_filter_ids(ids, 3)
+        return ids, offsets
+
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray((rng.randn(batch, samples) * 0.1).astype(np.float32))
+    lang_ids = jnp.asarray(np.zeros(batch, np.int32))
+
+    log("compiling...")
+    t0 = time.time()
+    out = infer(params, state, audio, lang_ids)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = infer(params, state, audio, lang_ids)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times = np.array(times)
+    log(f"step times: mean={times.mean()*1e3:.1f}ms "
+        f"min={times.min()*1e3:.1f}ms p50={np.median(times)*1e3:.1f}ms")
+
+    audio_seconds = batch * chunk_s
+    rtfx = audio_seconds / float(np.median(times))
+    result = {
+        "metric": "batched_infer_rtfx_wavlm_base",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtfx / 50.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Device mesh + sharding helpers (data-parallel first).
+
+The reference is strictly single-device (SURVEY.md §2 "Parallelism": no
+torch.distributed/DDP/NCCL anywhere). The TPU-native scaling strategy is
+XLA-collective data parallelism over an ICI mesh:
+
+- ``make_mesh`` builds a ``jax.sharding.Mesh`` over all (or N) devices with
+  axes ``('data', 'model')``; model=1 today, reserved so tensor-parallel
+  sharding is a config change rather than a rewrite.
+- Parameters are replicated (`P()`), batches sharded on ``data`` along the
+  leading axis.
+- Nothing else changes: the jitted train step's loss mean and Prodigy's
+  global scalar reductions keep their global semantics — under jit with
+  sharded inputs XLA inserts the psums over ICI automatically.
+
+Batch-size divisibility: shard_batch pads the leading axis up to a multiple
+of the data-axis size (CE ignores −100 labels and zero-audio rows contribute
+zero-valid offset targets, so padding rows are loss-neutral — but callers
+should prefer divisible batch sizes to avoid wasted compute).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel="
+                         f"{model_parallel}")
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a parameter/state pytree across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch(batch_tree, mesh: Mesh, pad_value_map=None):
+    """Shard each array leaf on the leading (batch) axis over ``data``; pads the
+    leading axis to a multiple of the data-axis size when needed.
+
+    ``pad_value_map``: optional dict key→pad value (e.g. labels → −100);
+    otherwise zeros.
+    """
+    data_size = mesh.shape["data"]
+
+    def put(key, x):
+        x = np.asarray(x)
+        b = x.shape[0]
+        rem = b % data_size
+        if rem:
+            pad = data_size - rem
+            fill = (pad_value_map or {}).get(key, 0)
+            pad_block = np.full((pad,) + x.shape[1:], fill, x.dtype)
+            x = np.concatenate([x, pad_block], axis=0)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    if isinstance(batch_tree, dict):
+        return {k: put(k, v) for k, v in batch_tree.items()}
+    return jax.tree_util.tree_map(lambda x: put(None, x), batch_tree)

@@ -130,7 +130,9 @@ def prodigy(learning_rate: float = 1.0,
         def param_update(m, v, p):
             denom = jnp.sqrt(v.astype(jnp.float32)) + d_new * eps
             delta = -d_lr * m.astype(jnp.float32) / denom
-            if weight_decay != 0.0 and decouple:
+            if decouple:
+                # weight_decay may be a traced hyperparameter; the term is a
+                # no-op at 0.0 so it is applied unconditionally.
                 delta = delta - d_lr * weight_decay * p.astype(jnp.float32)
             return (apply_scale * delta).astype(p.dtype)
 
