@@ -1,0 +1,107 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU platform
+(SURVEY.md §4 "Multi-device without a cluster")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_mesh_shapes():
+    from wfl_asr_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    mesh4 = make_mesh(num_devices=4)
+    assert mesh4.shape["data"] == 4
+    mesh42 = make_mesh(num_devices=4, model_parallel=2)
+    assert mesh42.shape == {"data": 2, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(num_devices=6, model_parallel=4)
+
+
+def test_shard_batch_pads_and_shards():
+    from wfl_asr_tpu.parallel import make_mesh, shard_batch
+    mesh = make_mesh()
+    batch = {"audio": np.ones((5, 100), np.float32),
+             "labels": np.ones((5, 10), np.int64)}
+    out = shard_batch(batch, mesh, pad_value_map={"labels": -100})
+    assert out["audio"].shape == (8, 100)
+    assert out["labels"].shape == (8, 10)
+    assert np.all(np.asarray(out["labels"][5:]) == -100)
+    assert np.all(np.asarray(out["audio"][5:]) == 0.0)
+    # sharded over 'data'
+    assert len(out["audio"].sharding.device_set) == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """A DP step over 8 devices produces the same params as the same step on
+    one device (global loss-mean + Prodigy scalar reductions are preserved
+    by XLA collectives)."""
+    import optax
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.tagger import init_tagger
+    from wfl_asr_tpu.parallel import make_mesh, replicate, shard_batch
+    from wfl_asr_tpu.train.loop import make_train_step
+    from wfl_asr_tpu.train.prodigy import prodigy
+
+    arch = graft._flagship_arch(tiny=True)
+    params, model_state = init_tagger(jax.random.PRNGKey(0), arch)
+
+    def build(learning_rate):
+        return prodigy(learning_rate=learning_rate)
+
+    tx = optax.inject_hyperparams(build)(learning_rate=1.0)
+    opt_state = tx.init(params)
+    train_step = make_train_step(arch, 0.1, 3.0, tx)
+
+    rng = np.random.RandomState(0)
+    b, s, t = 8, 4000, 20
+    batch = {
+        "audio": (rng.randn(b, s) * 0.1).astype(np.float32),
+        "labels": rng.randint(0, arch.num_labels, size=(b, t)).astype(np.int64),
+        "lang_ids": rng.randint(0, 2, size=b).astype(np.int32),
+        "off_frames": rng.randint(0, t, size=(b, 8)).astype(np.int32),
+        "off_channels": rng.randint(0, 2, size=(b, 8)).astype(np.int32),
+        "off_fracs": rng.rand(b, 8).astype(np.float32),
+        "off_valid": np.ones((b, 8), bool),
+    }
+    step_rng = jax.random.PRNGKey(1)
+
+    def run(p, ms, os_, arrays):
+        return train_step(p, ms, os_, step_rng,
+                          arrays["audio"], arrays["labels"],
+                          arrays["lang_ids"], arrays["off_frames"],
+                          arrays["off_channels"], arrays["off_fracs"],
+                          arrays["off_valid"], max_label_len=t)
+
+    # Host copies up front — the train step donates its input buffers.
+    params_host = jax.device_get(params)
+    state_host = jax.device_get(model_state)
+    opt_host = jax.device_get(opt_state)
+
+    # single device
+    single = run(jax.tree_util.tree_map(jnp.asarray, params_host),
+                 jax.tree_util.tree_map(jnp.asarray, state_host),
+                 jax.tree_util.tree_map(jnp.asarray, opt_host),
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    single_params = jax.device_get(single[0])
+    single_loss = float(single[3]["loss"])
+
+    # 8-device DP
+    mesh = make_mesh()
+    p_r = replicate(params_host, mesh)
+    ms_r = replicate(state_host, mesh)
+    os_r = replicate(opt_host, mesh)
+    sharded = shard_batch(batch, mesh, pad_value_map={"labels": -100})
+    with mesh:
+        dp = run(p_r, ms_r, os_r, sharded)
+    dp_params = jax.device_get(dp[0])
+    dp_loss = float(dp[3]["loss"])
+
+    assert dp_loss == pytest.approx(single_loss, rel=1e-5)
+    flat_s = jax.tree_util.tree_leaves(single_params)
+    flat_d = jax.tree_util.tree_leaves(dp_params)
+    for a, b_ in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
