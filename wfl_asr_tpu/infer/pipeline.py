@@ -52,12 +52,14 @@ BUCKET_SECONDS = 1.0           # static-shape compile granularity
 @functools.partial(jax.jit, static_argnames=("arch", "masked", "precentered",
                                              "compute_dtype"))
 def _forward_impl(params, state, arch, audio, lang_ids, sample_mask,
-                  frame_mask, masked: bool, precentered: bool, compute_dtype):
+                  frame_mask, pos_bias, masked: bool, precentered: bool,
+                  compute_dtype):
     logits, offsets, _ = apply_tagger(
         params, state, arch, audio, lang_ids,
         sample_mask=sample_mask if masked else None,
         frame_mask=frame_mask if masked else None,
-        precentered=precentered, compute_dtype=compute_dtype)
+        precentered=precentered, compute_dtype=compute_dtype,
+        precomputed_pos_bias=pos_bias)
     return logits, offsets
 
 
@@ -83,19 +85,46 @@ class InferenceSession:
         self.merge_map = load_phoneme_merge_map(
             os.path.join(save_dir, "phoneme_merge_map.json"))
         self.arch = arch or TaggerArch.from_config(self.cfg, len(self.label_list))
+        # Pallas flash attention on TPU (XLA attention elsewhere and for
+        # training — the kernel is forward-only).
+        if jax.devices()[0].platform == "tpu":
+            import dataclasses
+            if self.arch.wavlm is not None:
+                self.arch = dataclasses.replace(
+                    self.arch, wavlm=dataclasses.replace(
+                        self.arch.wavlm, use_flash_attention=True))
+            if self.arch.whisper is not None:
+                self.arch = dataclasses.replace(
+                    self.arch, whisper=dataclasses.replace(
+                        self.arch.whisper, use_flash_attention=True))
         params, state = load_model_checkpoint(checkpoint_path, self.arch)
         self.params = jax.device_put(params)
         self.state = jax.device_put(state)
         self.compute_dtype = compute_dtype
         self.sr = self.cfg.sample_rate
+        self._pos_bias_cache: Dict[int, jnp.ndarray] = {}
 
     # -- compiled forward ---------------------------------------------------
 
     def _jit_forward(self, audio, lang_ids, sample_mask, frame_mask,
-                     masked: bool, precentered: bool):
+                     masked: bool, precentered: bool, t_pad: int):
         return _forward_impl(self.params, self.state, self.arch,
                              audio, lang_ids, sample_mask, frame_mask,
-                             masked, precentered, self.compute_dtype)
+                             self._pos_bias_for(t_pad), masked, precentered,
+                             self.compute_dtype)
+
+    def _pos_bias_for(self, t_pad: int):
+        """Per-bucket-length precomputed WavLM position bias (params are
+        fixed at inference, so the [T,T] bucket gather runs once per length
+        instead of in every forward)."""
+        if self.arch.encoder_type != "wavlm":
+            return None
+        if t_pad not in self._pos_bias_cache:
+            from ..models.wavlm import position_bias
+            self._pos_bias_cache[t_pad] = jax.jit(
+                position_bias, static_argnames=("arch", "length"))(
+                    self.params["encoder"], self.arch.wavlm, t_pad)
+        return self._pos_bias_cache[t_pad]
 
     def num_frames_for(self, num_samples: int) -> int:
         """Frame count the reference model would emit for this exact length
@@ -144,7 +173,7 @@ class InferenceSession:
         logits, offsets = self._jit_forward(
             jnp.asarray(np.ascontiguousarray(batch)),
             jnp.asarray(np.asarray(lang_ids, np.int32)),
-            sample_mask, frame_mask, masked, precentered)
+            sample_mask, frame_mask, masked, precentered, t_pad)
         logits = np.asarray(logits[:, :t_ref])
         offsets = np.asarray(offsets[:, :t_ref])
         return logits, offsets

@@ -167,7 +167,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            rng=None, deterministic: bool = True,
            compute_dtype=jnp.float32,
            sample_mask=None, frame_mask=None,
-           precentered: bool = False) -> jnp.ndarray:
+           precentered: bool = False,
+           precomputed_pos_bias=None) -> jnp.ndarray:
     """Front-end + encoder → hidden states [B, T_enc, H], all on device.
 
     ``sample_mask``/``frame_mask``/``precentered`` support bucket-padded
@@ -187,7 +188,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
         return wavlm_encode(params["encoder"], arch.wavlm, normed,
                             mask=frame_mask, sample_mask=sample_mask,
                             rng=rng, deterministic=deterministic,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            precomputed_pos_bias=precomputed_pos_bias)
     # encoder_type "none": mel features are the hidden states (model.py:149-150)
     hop = int(arch.frame_duration * arch.sample_rate)
     return mel_spectrogram(audio, arch.sample_rate, 400, hop, arch.n_mels,
@@ -211,7 +213,8 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                  train: bool = False,
                  compute_dtype=jnp.float32,
                  sample_mask=None, frame_mask=None,
-                 precentered: bool = False):
+                 precentered: bool = False,
+                 precomputed_pos_bias=None):
     """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
 
     ``max_label_len`` must be a static int (padded-bucket batching);
@@ -228,7 +231,8 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
     hidden = encode(params, arch, audio, rng=enc_rng,
                     deterministic=deterministic, compute_dtype=compute_dtype,
                     sample_mask=sample_mask, frame_mask=frame_mask,
-                    precentered=precentered)
+                    precentered=precentered,
+                    precomputed_pos_bias=precomputed_pos_bias)
     if arch.freeze_encoder:
         hidden = jax.lax.stop_gradient(hidden)
 

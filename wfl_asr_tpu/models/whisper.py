@@ -33,6 +33,7 @@ class WhisperArch:
     ffn_dim: int = 2048
     num_mel_bins: int = 80
     max_source_positions: int = 1500
+    use_flash_attention: bool = False   # Pallas fused attention (inference)
     dropout: float = 0.0
     activation_dropout: float = 0.0
 
@@ -132,9 +133,12 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
     for layer in params["layers"]:
         residual = x
         h = layer_norm(layer["attn_ln"], x)
-        attn = attention_core(split(linear(layer["q"], h)),
-                              split(linear(layer["k"], h)),
-                              split(linear(layer["v"], h)))
+        q, k, v = (split(linear(layer[n], h)) for n in ("q", "k", "v"))
+        if arch.use_flash_attention:
+            from ..ops.pallas.flash_attention import flash_attention
+            attn = flash_attention(q, k, v)
+        else:
+            attn = attention_core(q, k, v)
         attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))
         if not deterministic:
             attn = dropout(rngs.pop(), attn, arch.dropout, False)
