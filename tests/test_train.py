@@ -262,7 +262,7 @@ def test_train_end_to_end(tmp_path):
         "learning_rate": 1.0, "weight_decay": 0.00001,
         "scheduler": "ConstantLR", "label_smoothing": 0.1,
         "max_steps": 6, "val_check_interval": 3, "max_checkpoints": 1,
-        "seed": 0,
+        "seed": 0, "data_parallel": False,  # single-device semantics here
     })
     config["augmentation"] = {"enable": True, "prob": 0.5,
                               "noise_std": 0.005, "volume_range": [0.9, 1.1]}

@@ -85,11 +85,20 @@ class TaggerArch:
         reference model.py:57-142 ``.get`` sites)."""
         enc = cfg.encoder_type
         wavlm = whisper = None
+        # Optional overrides of the named preset's architecture fields
+        # (e.g. custom dims for experimentation or tiny test models).
+        overrides = cfg.raw.get("model", {}).get("encoder_arch_overrides") or {}
         if enc == "whisper":
             whisper = whisper_arch_from_name(cfg.encoder_name)
+            if overrides:
+                whisper = replace(whisper, **overrides)
             hidden = whisper.d_model
         elif enc == "wavlm":
             wavlm = wavlm_arch_from_name(cfg.encoder_name)
+            if overrides:
+                overrides = {k: tuple(v) if isinstance(v, list) else v
+                             for k, v in overrides.items()}
+                wavlm = replace(wavlm, **overrides)
             hidden = wavlm.hidden_size
         elif enc in ("none", "null"):
             enc = "none"

@@ -192,7 +192,11 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
     valid_len = (jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
                  if sample_mask is not None else None)       # [B]
     for i, layer in enumerate(params["feature_encoder"]):
-        x = conv1d_as_matmul(layer["conv"], x, stride=arch.conv_stride[i])
+        # Measured on v5e: XLA's conv lowering beats per-tap strided matmuls
+        # here (49 ms vs 97 ms for the stack at B=8) — strided slices cost
+        # more than the conv's layout inefficiency.
+        x = conv1d(layer["conv"], x, stride=arch.conv_stride[i],
+                   padding="VALID")
         if valid_len is not None:
             valid_len = (valid_len - arch.conv_kernel[i]) \
                 // arch.conv_stride[i] + 1

@@ -360,6 +360,24 @@ def train(config_path: str = "config.yaml",
     best_loss = float("inf")
     checkpoint_paths = []
 
+    # --- data parallelism over all visible devices (XLA collectives over
+    # ICI; SURVEY.md §2 "Parallelism"). Enabled automatically with >1
+    # device unless training.data_parallel is false.
+    n_devices = len(jax.devices())
+    use_dp = n_devices > 1 and bool(
+        cfg.raw.get("training", {}).get("data_parallel", True))
+    mesh = None
+    if use_dp:
+        from ..parallel import make_mesh, replicate, shard_batch
+        if cfg.batch_size % n_devices != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"{n_devices} devices for data parallelism")
+        mesh = make_mesh()
+        train_loader.drop_last = True
+        print(f"[INFO] Data parallel over {n_devices} devices "
+              f"(mesh {dict(mesh.shape)})")
+
     resume = find_resume_checkpoint(save_dir)
     if resume is not None:
         ckpt_path, ckpt_step = resume
@@ -384,9 +402,15 @@ def train(config_path: str = "config.yaml",
     else:
         print("Training start")
 
-    params = jax.device_put(params)
-    model_state = jax.device_put(model_state)
-    opt_state = jax.device_put(opt_state)
+    if mesh is not None:
+        from ..parallel import replicate
+        params = replicate(params, mesh)
+        model_state = replicate(model_state, mesh)
+        opt_state = replicate(opt_state, mesh)
+    else:
+        params = jax.device_put(params)
+        model_state = jax.device_put(model_state)
+        opt_state = jax.device_put(opt_state)
 
     seg_weights = cfg.segmental_loss_weights
     seg_weight = cfg.segmental_loss_weight
@@ -404,15 +428,24 @@ def train(config_path: str = "config.yaml",
                 scheduler.step()
             set_lr()
             rng, step_rng = jax.random.split(rng)
+            if mesh is not None:
+                from ..parallel import shard_batch
+                arrays = shard_batch(
+                    {k: batch[k] for k in ("audio", "labels", "lang_ids",
+                                           "off_frames", "off_channels",
+                                           "off_fracs", "off_valid")},
+                    mesh, pad_value_map={"labels": -100})
+            else:
+                arrays = {k: jnp.asarray(batch[k])
+                          for k in ("audio", "labels", "lang_ids",
+                                    "off_frames", "off_channels",
+                                    "off_fracs", "off_valid")}
             params, model_state, opt_state, metrics, pred_ids, offsets = \
                 train_step(params, model_state, opt_state, step_rng,
-                           jnp.asarray(batch["audio"]),
-                           jnp.asarray(batch["labels"]),
-                           jnp.asarray(batch["lang_ids"]),
-                           jnp.asarray(batch["off_frames"]),
-                           jnp.asarray(batch["off_channels"]),
-                           jnp.asarray(batch["off_fracs"]),
-                           jnp.asarray(batch["off_valid"]),
+                           arrays["audio"], arrays["labels"],
+                           arrays["lang_ids"], arrays["off_frames"],
+                           arrays["off_channels"], arrays["off_fracs"],
+                           arrays["off_valid"],
                            max_label_len=batch["max_label_len"])
             step += 1
 
