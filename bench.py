@@ -84,6 +84,7 @@ def main() -> None:
     jax.block_until_ready(out)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    # Latency: one synchronous step.
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
@@ -91,11 +92,20 @@ def main() -> None:
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times = np.array(times)
-    log(f"step times: mean={times.mean()*1e3:.1f}ms "
+    log(f"sync step times: mean={times.mean()*1e3:.1f}ms "
         f"min={times.min()*1e3:.1f}ms p50={np.median(times)*1e3:.1f}ms")
 
+    # Throughput: pipelined steps — async dispatch overlaps host/relay
+    # overhead with device compute, as a folder/batch serving loop would.
+    t0 = time.perf_counter()
+    outs = [infer(params, state, audio, lang_ids, pos_bias)
+            for _ in range(iters)]
+    jax.block_until_ready(outs)
+    pipelined = (time.perf_counter() - t0) / iters
+    log(f"pipelined step time: {pipelined*1e3:.1f}ms")
+
     audio_seconds = batch * chunk_s
-    rtfx = audio_seconds / float(np.median(times))
+    rtfx = audio_seconds / pipelined
     result = {
         "metric": "batched_infer_rtfx_wavlm_base",
         "value": round(rtfx, 2),

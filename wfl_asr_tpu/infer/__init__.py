@@ -1,3 +1,5 @@
-from .pipeline import InferenceSession, infer_audio, infer_folder
+from .pipeline import (InferenceSession, infer_audio, infer_folder,
+                       infer_folder_batched)
 
-__all__ = ["InferenceSession", "infer_audio", "infer_folder"]
+__all__ = ["InferenceSession", "infer_audio", "infer_folder",
+           "infer_folder_batched"]

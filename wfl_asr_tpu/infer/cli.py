@@ -34,8 +34,11 @@ from ..config import load_raw_config
               help='Device to use: "tpu" or "cpu". Auto-detects if not specified.')
 @click.option("--confidence-threshold", "-ct", type=float, default=None,
               help="Suppress predictions with low confidence. Set 0 to disable.")
+@click.option("--batch-size", "-b", type=int, default=1,
+              help="Folder mode: batch this many files per forward "
+                   "(TPU throughput mode; identical outputs).")
 def main(path, checkpoint, config, output, lang_id, sample, top_k, top_p,
-         temperature, device, confidence_threshold):
+         temperature, device, confidence_threshold, batch_size):
     # Flag validation mirrors reference infer.py:377-391.
     if sample:
         if top_k <= 0 and top_p <= 0.0:
@@ -83,14 +86,21 @@ def main(path, checkpoint, config, output, lang_id, sample, top_k, top_p,
     if lang_id is not None and lang_id <= -1:
         lang_id = None
 
-    from .pipeline import infer_audio, infer_folder
+    from .pipeline import infer_audio, infer_folder, infer_folder_batched
     if inf_path.is_dir():
-        infer_folder(folder_path=str(inf_path), config_path=str(config),
-                     checkpoint_path=str(checkpoint),
-                     output_dir=str(output_path), device=device,
-                     lang_id=lang_id, sample=sample, top_k=top_k, top_p=top_p,
-                     temperature=temperature,
-                     confidence_threshold=confidence_threshold)
+        if batch_size > 1:
+            infer_folder_batched(
+                folder_path=str(inf_path), config_path=str(config),
+                checkpoint_path=str(checkpoint), output_dir=str(output_path),
+                lang_id=lang_id, confidence_threshold=confidence_threshold,
+                batch_files=batch_size)
+        else:
+            infer_folder(folder_path=str(inf_path), config_path=str(config),
+                         checkpoint_path=str(checkpoint),
+                         output_dir=str(output_path), device=device,
+                         lang_id=lang_id, sample=sample, top_k=top_k,
+                         top_p=top_p, temperature=temperature,
+                         confidence_threshold=confidence_threshold)
     else:
         segments = infer_audio(
             audio_path=str(inf_path), config_path=str(config),

@@ -178,6 +178,63 @@ class InferenceSession:
         offsets = np.asarray(offsets[:, :t_ref])
         return logits, offsets
 
+    def forward_many(self, audios: Sequence[np.ndarray],
+                     lang_ids_per_item: Sequence[Sequence[int]]):
+        """Batched multi-utterance forward: items of different true lengths
+        share one bucketed graph via per-row masks (bit-equal to per-item
+        exact-length runs — tests/test_masked_inference.py).
+
+        Returns a list of (logits [L_i, T_ref_i, n], offsets [L_i, T_ref_i, 2])
+        per item, where L_i = len(lang_ids_per_item[i]).
+        """
+        if not audios:
+            return []
+        bucket_unit = int(BUCKET_SECONDS * self.sr)
+        s_true = [len(a) for a in audios]
+        bucket = max(int(np.ceil(max(s_true) / bucket_unit)), 1) * bucket_unit
+        t_pad = self.num_frames_for(bucket)
+
+        rows_audio, rows_lang, row_owner = [], [], []
+        for i, (audio, langs) in enumerate(zip(audios, lang_ids_per_item)):
+            if self.arch.encoder_type == "none":
+                buf = np.zeros(bucket + 400, np.float32)
+                centered = np.pad(audio.astype(np.float32), 200,
+                                  mode="reflect")
+                buf[:len(centered)] = centered
+            else:
+                buf = np.zeros(bucket, np.float32)
+                buf[:len(audio)] = audio
+            for lang in langs:
+                rows_audio.append(buf)
+                rows_lang.append(lang)
+                row_owner.append(i)
+
+        precentered = self.arch.encoder_type == "none"
+        batch = np.stack(rows_audio)
+        t_refs = [self.num_frames_for(s) for s in s_true]
+        sample_mask = jnp.asarray(
+            np.arange(bucket)[None, :]
+            < np.array([s_true[o] for o in row_owner])[:, None])
+        frame_mask = jnp.asarray(
+            np.arange(t_pad)[None, :]
+            < np.array([t_refs[o] for o in row_owner])[:, None])
+        masked = self.arch.encoder_type != "whisper"
+
+        logits, offsets = self._jit_forward(
+            jnp.asarray(batch), jnp.asarray(np.array(rows_lang, np.int32)),
+            sample_mask, frame_mask, masked, precentered, t_pad)
+        logits = np.asarray(logits)
+        offsets = np.asarray(offsets)
+
+        out = []
+        row = 0
+        for i, langs in enumerate(lang_ids_per_item):
+            n = len(langs)
+            out.append((logits[row:row + n, :t_refs[i]],
+                        offsets[row:row + n, :t_refs[i]]))
+            row += n
+        return out
+
     def postprocess_ids(self, logits: np.ndarray,
                         confidence_threshold: float,
                         median_size: int) -> np.ndarray:
@@ -347,15 +404,7 @@ def infer_audio(audio_path: str, config_path: str = "config.yaml",
 
     lang_name = _lang_name_for(session, lang_id)
 
-    # Forced phoneme list from the sibling .txt (infer.py:210-215)
-    phoneme_txt = audio_path.replace(".wav", ".txt")
-    forced = None
-    if os.path.exists(phoneme_txt):
-        forced = []
-        with open(phoneme_txt, "r", encoding="utf-8") as f:
-            for line in f:
-                forced.extend(line.strip().split())
-        print(f"Loaded forced phoneme list with {len(forced)} phonemes.")
+    forced = _load_forced_list(audio_path)
 
     audio, sr = read_wav(audio_path)
     if audio.ndim > 1:
@@ -395,16 +444,7 @@ def infer_audio(audio_path: str, config_path: str = "config.yaml",
             segments_pred, mode=session.cfg.merge_segments)
 
     if forced is not None:
-        aligned = align_phoneme_list(segments_pred, forced)
-        if "SP" not in forced and "AP" not in forced:
-            # Keep leading/trailing silence segments (infer.py:314-317)
-            before = [s for s in segments_pred
-                      if s[2] in ("SP", "AP") and aligned and s[1] <= aligned[0][0]]
-            after = [s for s in segments_pred
-                     if s[2] in ("SP", "AP") and aligned and s[0] >= aligned[-1][1]]
-            segments_pred = before + aligned + after
-        else:
-            segments_pred = aligned
+        segments_pred = _apply_forced_alignment(segments_pred, forced)
 
     if output_lab_path:
         dir_path = os.path.dirname(output_lab_path)
@@ -414,6 +454,111 @@ def infer_audio(audio_path: str, config_path: str = "config.yaml",
         print(f"Predictions saved to: {output_lab_path}")
 
     return segments_pred
+
+
+def _load_forced_list(audio_path: str) -> Optional[List[str]]:
+    """Forced phoneme list from the sibling .txt (reference infer.py:210-215)."""
+    phoneme_txt = audio_path.replace(".wav", ".txt")
+    if not os.path.exists(phoneme_txt):
+        return None
+    forced: List[str] = []
+    with open(phoneme_txt, "r", encoding="utf-8") as f:
+        for line in f:
+            forced.extend(line.strip().split())
+    print(f"Loaded forced phoneme list with {len(forced)} phonemes.")
+    return forced
+
+
+def _apply_forced_alignment(segments_pred: List[Segment],
+                            forced: List[str]) -> List[Segment]:
+    """Forced alignment + SP/AP edge re-attachment (reference infer.py:312-319)."""
+    aligned = align_phoneme_list(segments_pred, forced)
+    if "SP" not in forced and "AP" not in forced:
+        before = [s for s in segments_pred
+                  if s[2] in ("SP", "AP") and aligned and s[1] <= aligned[0][0]]
+        after = [s for s in segments_pred
+                 if s[2] in ("SP", "AP") and aligned and s[0] >= aligned[-1][1]]
+        return before + aligned + after
+    return aligned
+
+
+def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
+                         checkpoint_path: str = "best_model.pt",
+                         output_dir: str = "outputs",
+                         lang_id: Optional[int] = None,
+                         confidence_threshold: float = 0.0,
+                         batch_files: int = 8) -> None:
+    """Throughput folder mode (TPU addition): ≤30 s files are batched into
+    shared bucketed forwards via per-row masks; outputs stay identical to
+    per-file inference. Files >30 s fall back to the chunked path; cached
+    files skip the forward entirely."""
+    session = _get_session(config_path, checkpoint_path)
+    os.makedirs(output_dir, exist_ok=True)
+    median_size = session.cfg.median_filter
+    lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
+    lang_name = _lang_name_for(session, lang_id)
+    langs = ([lang_id] if lang_id is not None
+             else sorted(session.lang2id.values()) or [0])
+
+    def finish(name, segments):
+        if session.cfg.merge_segments != "none":
+            segments = merge_adjacent_segments(
+                segments, mode=session.cfg.merge_segments)
+        forced = _load_forced_list(os.path.join(folder_path, name))
+        if forced is not None:
+            segments = _apply_forced_alignment(segments, forced)
+        save_lab(os.path.join(output_dir, name.replace(".wav", ".lab")),
+                 segments)
+
+    pending = []  # (name, audio, logit_path, offset_path)
+    for name in sorted(f for f in os.listdir(folder_path)
+                       if f.lower().endswith(".wav")):
+        path = os.path.join(folder_path, name)
+        audio, sr = read_wav(path)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != session.sr:
+            audio = resample(audio, sr, session.sr)
+        if len(audio) > 0:
+            audio = peak_normalize(audio, eps=1e-8)
+
+        if len(audio) / session.sr > MAX_SEGMENT_DURATION:
+            infer_audio(path, config_path, checkpoint_path,
+                        os.path.join(output_dir,
+                                     name.replace(".wav", ".lab")),
+                        lang_id=lang_id,
+                        confidence_threshold=confidence_threshold)
+            continue
+
+        cache_dir = os.path.join(folder_path, ".wfl_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        base = os.path.splitext(name)[0]
+        logit_path = os.path.join(cache_dir,
+                                  f"{base}{lang_suffix}_logits.pt")
+        offset_path = os.path.join(cache_dir,
+                                   f"{base}{lang_suffix}_offsets.pt")
+        cached = _squeeze_batch(_cache_load(logit_path))
+        if cached is not None:
+            finish(name, _decode_segment(
+                session, cached, _squeeze_batch(_cache_load(offset_path)),
+                confidence_threshold, median_size, lang_name))
+            continue
+        pending.append((name, np.asarray(audio, np.float32),
+                        logit_path, offset_path))
+
+    for start in range(0, len(pending), batch_files):
+        group = pending[start:start + batch_files]
+        results = session.forward_many([g[1] for g in group],
+                                       [langs] * len(group))
+        for (name, _audio, logit_path, offset_path), (lg, off) in \
+                zip(group, results):
+            logits = lg.mean(axis=0)
+            offsets = off.mean(axis=0)
+            _cache_save(logit_path, logits)
+            _cache_save(offset_path, offsets)
+            finish(name, _decode_segment(session, logits, offsets,
+                                         confidence_threshold, median_size,
+                                         lang_name))
 
 
 def infer_folder(folder_path: str, config_path: str = "config.yaml",
