@@ -48,8 +48,9 @@ def main() -> None:
     arch = graft._flagship_arch(tiny=False)
     if dev.platform == "tpu":
         import dataclasses
-        arch = dataclasses.replace(arch, wavlm=dataclasses.replace(
-            arch.wavlm, use_flash_attention=True))
+        arch = dataclasses.replace(arch, use_flash_attention=True,
+                                   wavlm=dataclasses.replace(
+                                       arch.wavlm, use_flash_attention=True))
     params, state = init_tagger(jax.random.PRNGKey(0), arch)
     params = jax.device_put(params)
     state = jax.device_put(state)

@@ -89,6 +89,8 @@ class InferenceSession:
         # training — the kernel is forward-only).
         if jax.devices()[0].platform == "tpu":
             import dataclasses
+            self.arch = dataclasses.replace(self.arch,
+                                            use_flash_attention=True)
             if self.arch.wavlm is not None:
                 self.arch = dataclasses.replace(
                     self.arch, wavlm=dataclasses.replace(

@@ -207,7 +207,8 @@ def init_conformer_block(rng, dim: int, heads: int, ff_expansion: int,
 def conformer_block(params, state, x: jnp.ndarray, heads: int,
                     conv_kernel: int, drop_rate: float, rngs,
                     deterministic: bool, train: bool,
-                    mask: Optional[jnp.ndarray] = None):
+                    mask: Optional[jnp.ndarray] = None,
+                    use_flash: bool = False):
     """Macaron FF halves, post-LN MHSA, conv module with **full** k-wide conv
     + BatchNorm, no final LayerNorm (reference model.py:40-52). Returns
     (y, new_state).
@@ -224,10 +225,16 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     def split(h):
         return h.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
 
-    attn = attention_core(split(linear(params["q"], x)),
-                          split(linear(params["k"], x)),
-                          split(linear(params["v"], x)),
-                          mask=mask)
+    q = split(linear(params["q"], x))
+    k = split(linear(params["k"], x))
+    v = split(linear(params["v"], x))
+    if use_flash:
+        from ..ops.pallas.flash_attention import flash_attention
+        kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
+                  if mask is not None else None)
+        attn = flash_attention(q, k, v, kv_len=kv_len)
+    else:
+        attn = attention_core(q, k, v, mask=mask)
     attn = linear(params["attn_out"],
                   attn.transpose(0, 2, 1, 3).reshape(b, t, dim))
     # torch MultiheadAttention applies dropout to attention *weights*; with

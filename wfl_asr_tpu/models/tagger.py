@@ -73,6 +73,7 @@ class TaggerArch:
     dilated_depth: int = 2
     dilated_kernel: int = 3
     freeze_encoder: bool = False
+    use_flash_attention: bool = False   # Pallas attention in Conformer blocks
     sample_rate: int = 16000
     frame_duration: float = 0.02
     n_mels: int = 80
@@ -264,7 +265,8 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                                     arch.conformer_kernel,
                                     arch.conformer_dropout, rngs,
                                     deterministic=deterministic, train=train,
-                                    mask=frame_mask)
+                                    mask=frame_mask,
+                                    use_flash=arch.use_flash_attention)
         new_conformer_states.append(ns)
 
     if arch.enable_dilated_conv:

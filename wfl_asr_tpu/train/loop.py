@@ -352,6 +352,18 @@ def train(config_path: str = "config.yaml",
     except ImportError:
         writer = None
 
+    # Structured metrics log (observability beyond TB — SURVEY.md §5 notes
+    # the reference has none): one JSON object per train/val event.
+    import json as _json
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    metrics_log = open(os.path.join(cfg.log_dir, "metrics.jsonl"), "a")
+
+    def log_event(kind: str, step_: int, **fields):
+        metrics_log.write(_json.dumps(
+            {"event": kind, "step": step_, "time": time.time(), **fields})
+            + "\n")
+        metrics_log.flush()
+
     train_step = make_train_step(arch, cfg.label_smoothing,
                                  cfg.subframe_loss_weight, tx)
     eval_step = make_eval_step(arch, cfg.label_smoothing)
@@ -474,6 +486,8 @@ def train(config_path: str = "config.yaml",
             if writer is not None:
                 writer.add_scalar("train/loss", loss_val, step)
                 writer.add_scalar("train/offset_loss", offset_val, step)
+            log_event("train", step, loss=loss_val, offset_loss=offset_val,
+                      lr=base_lr * scheduler.factor)
             now = time.time()
             print(f"\r[Step {step}] Loss: {loss_val:.4f} "
                   f"({1.0 / max(now - last_log, 1e-9):.2f} it/s)", end="")
@@ -483,6 +497,7 @@ def train(config_path: str = "config.yaml",
                 val_loss = evaluate(params, model_state, arch, eval_step,
                                     val_loader, label_list, cfg, writer,
                                     step, id2lang, merge_map)
+                log_event("val", step, loss=val_loss)
                 model_path = os.path.join(save_dir, f"model_step{step}.pt")
                 save_model_checkpoint(model_path, params, model_state, arch)
                 save_train_state(model_path, opt_state, step,
@@ -516,6 +531,7 @@ def train(config_path: str = "config.yaml",
 
     save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
                           params, model_state, arch)
+    metrics_log.close()
     print("\nTraining complete at max_steps!")
 
 
