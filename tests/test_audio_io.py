@@ -40,7 +40,7 @@ def test_pcm24_and_32_and_float(tmp_path):
     _write_pcm(tmp_path / "p24.wav", raw, 22050, 3)
     y, sr = read_wav(str(tmp_path / "p24.wav"))
     assert sr == 22050
-    np.testing.assert_allclose(y, x, atol=2e-7)
+    np.testing.assert_allclose(y, x, atol=5e-7)
 
     # 32-bit PCM
     raw32 = (x * 2147483647).astype("<i4").tobytes()
