@@ -35,7 +35,8 @@ def test_pcm24_and_32_and_float(tmp_path):
     x = (rng.randn(1000) * 0.3).clip(-1, 1)
 
     # 24-bit PCM
-    as24 = (x * (1 << 23)).astype(np.int32)
+    as24 = np.clip((x * (1 << 23)).astype(np.int32),
+                   -(1 << 23), (1 << 23) - 1)  # 24-bit range
     raw = b"".join(struct.pack("<i", v)[:3] for v in as24)
     _write_pcm(tmp_path / "p24.wav", raw, 22050, 3)
     y, sr = read_wav(str(tmp_path / "p24.wav"))
