@@ -68,12 +68,26 @@ def load_pytree_npz(path: str):
 # Model checkpoints (.pt contract)
 # ---------------------------------------------------------------------------
 
-def save_model_checkpoint(path: str, params, state, arch) -> None:
-    """Write a reference-compatible ``.pt`` (torch state_dict). Falls back to
-    ``.pt.npz`` when torch is unavailable."""
-    from .models.convert import export_tagger
+def save_model_checkpoint(path: str, params, state, arch,
+                          fmt: str = "pt") -> None:
+    """Write a model checkpoint.
+
+    ``fmt="pt"`` (default): reference-compatible torch state_dict — full
+    interop with usamireko/WFL-ASR in both directions (falls back to
+    ``.pt.npz`` without torch). ``fmt="orbax"``: orbax StandardCheckpointer
+    directory at ``path + ".orbax"`` (pure-JAX deployments; same
+    ``model_step{N}.pt``-rooted naming so rotation/resume are unchanged).
+    """
     host_params = jax.device_get(params)
     host_state = jax.device_get(state)
+    if fmt == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path) + ".orbax",
+                   {"params": host_params, "state": host_state}, force=True)
+        ckptr.wait_until_finished()
+        return
+    from .models.convert import export_tagger
     sd_np = export_tagger(host_params, host_state, arch)
     try:
         import torch
@@ -84,8 +98,15 @@ def save_model_checkpoint(path: str, params, state, arch) -> None:
 
 
 def load_model_checkpoint(path: str, arch) -> Tuple[dict, dict]:
-    """Load a ``.pt`` (torch, ours or the reference's) or ``.pt.npz``."""
+    """Load a ``.pt`` (torch, ours or the reference's), ``.pt.npz``, or an
+    orbax directory (``path`` or ``path + ".orbax"``)."""
     from .models.convert import convert_tagger
+    orbax_dir = path if path.endswith(".orbax") else path + ".orbax"
+    if os.path.isdir(orbax_dir):
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(orbax_dir))
+        return restored["params"], restored["state"]
     if os.path.exists(path):
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=True)

@@ -50,7 +50,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k_start = i * block_k
+        k_start = pl.multiple_of(i * block_k, block_k)
         k_blk = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(k_start, block_k), :]
 
@@ -119,7 +119,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     has_bias = bias is not None
     has_gate = gate is not None
     if has_bias:
-        bias_p = jnp.pad(bias, [(0, 0), (0, t_pad - t), (0, t_pad - t)])
+        # Store the bias at the activation dtype (bf16 halves its HBM
+        # traffic); the kernel accumulates scores in f32 regardless.
+        bias_p = jnp.pad(bias.astype(out_dtype),
+                         [(0, 0), (0, t_pad - t), (0, t_pad - t)])
     else:
         bias_p = jnp.zeros((1, 1, 1), q.dtype)
     if has_gate:
@@ -133,7 +136,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     kv_arr = kv_arr.reshape(b, 1, 1)
 
-    grid = (b, h, t_pad // block_q)
+    # Grid order (h, q, b): batch innermost so the (head, q-tile) bias block
+    # stays VMEM-resident across batch iterations — bias HBM traffic is
+    # [H,T,T] once per layer instead of once per (layer, batch element).
+    grid = (h, t_pad // block_q, b)
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, sm_scale=1.0 / np.sqrt(d),
@@ -144,27 +150,27 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),
-                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, d),
-                         lambda bi, hi, qi: (bi, hi, 0, 0),
+                         lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, d),
-                         lambda bi, hi, qi: (bi, hi, 0, 0),
+                         lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, t_pad) if has_bias else (1, 1, 1),
-                         (lambda bi, hi, qi: (hi, qi, 0)) if has_bias
-                         else (lambda bi, hi, qi: (0, 0, 0)),
+                         (lambda hi, qi, bi: (hi, qi, 0)) if has_bias
+                         else (lambda hi, qi, bi: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, 1) if has_gate else (1, 1, 1, 1),
-                         (lambda bi, hi, qi: (bi, hi, qi, 0)) if has_gate
-                         else (lambda bi, hi, qi: (0, 0, 0, 0)),
+                         (lambda hi, qi, bi: (bi, hi, qi, 0)) if has_gate
+                         else (lambda hi, qi, bi: (0, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda bi, hi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               lambda hi, qi, bi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), out_dtype),
         # interpret mode on non-TPU backends (tests on the CPU platform)
