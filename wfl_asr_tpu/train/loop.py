@@ -311,6 +311,7 @@ def train(config_path: str = "config.yaml",
     save_dir = cfg.save_dir
     os.makedirs(save_dir, exist_ok=True)
 
+    ckpt_fmt = str(cfg.raw.get("output", {}).get("checkpoint_format", "pt"))
     label_list = load_phoneme_list(os.path.join(save_dir, "phonemes.txt"))
     dataset = PhonemeDataset(os.path.join(save_dir, "dataset.json"),
                              label_list, cfg.max_seq_len, cfg.augmentation,
@@ -499,7 +500,8 @@ def train(config_path: str = "config.yaml",
                                     step, id2lang, merge_map)
                 log_event("val", step, loss=val_loss)
                 model_path = os.path.join(save_dir, f"model_step{step}.pt")
-                save_model_checkpoint(model_path, params, model_state, arch)
+                save_model_checkpoint(model_path, params, model_state, arch,
+                                      fmt=ckpt_fmt)
                 save_train_state(model_path, opt_state, step,
                                  np.asarray(rng))
                 checkpoint_paths.append(model_path)
@@ -513,7 +515,7 @@ def train(config_path: str = "config.yaml",
                     best_loss = val_loss
                     save_model_checkpoint(
                         os.path.join(save_dir, "best_model.pt"),
-                        params, model_state, arch)
+                        params, model_state, arch, fmt=ckpt_fmt)
                     print(f"\nSaved best model with loss = {val_loss:.4f}")
 
                 if not cfg.scheduler_step_on_update:
@@ -530,7 +532,7 @@ def train(config_path: str = "config.yaml",
         epoch += 1
 
     save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
-                          params, model_state, arch)
+                          params, model_state, arch, fmt=ckpt_fmt)
     metrics_log.close()
     print("\nTraining complete at max_steps!")
 
