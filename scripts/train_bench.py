@@ -1,0 +1,72 @@
+"""Training-step throughput at WavLM-base (fwd + bwd + Prodigy) on one chip."""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as graft
+from wfl_asr_tpu.models.tagger import init_tagger
+from wfl_asr_tpu.train.loop import make_train_step
+from wfl_asr_tpu.train.prodigy import prodigy
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+S = int(SECONDS * 16000)
+T = int(SECONDS / 0.02)
+
+arch = graft._flagship_arch(tiny=False)
+params, state = init_tagger(jax.random.PRNGKey(0), arch)
+
+
+def build(learning_rate):
+    return prodigy(learning_rate=learning_rate)
+
+
+tx = optax.inject_hyperparams(build)(learning_rate=1.0)
+opt_state = tx.init(params)
+params = jax.device_put(params)
+state = jax.device_put(state)
+opt_state = jax.device_put(opt_state)
+
+step = make_train_step(arch, 0.1, 3.0, tx)
+rng = np.random.RandomState(0)
+batch = dict(
+    audio=jnp.asarray((rng.randn(B, S) * 0.1).astype(np.float32)),
+    labels=jnp.asarray(rng.randint(0, arch.num_labels, (B, T)).astype(np.int64)),
+    lang_ids=jnp.asarray(np.zeros(B, np.int32)),
+    off_f=jnp.asarray(rng.randint(0, T, (B, 64)).astype(np.int32)),
+    off_c=jnp.asarray(rng.randint(0, 2, (B, 64)).astype(np.int32)),
+    off_x=jnp.asarray(rng.rand(B, 64).astype(np.float32)),
+    off_v=jnp.asarray(np.ones((B, 64), bool)),
+)
+
+
+def run(p, ms, os_):
+    return step(p, ms, os_, jax.random.PRNGKey(1), batch["audio"],
+                batch["labels"], batch["lang_ids"], batch["off_f"],
+                batch["off_c"], batch["off_x"], batch["off_v"],
+                max_label_len=T)
+
+
+print(f"train step: B={B} x {SECONDS}s audio (T={T})", flush=True)
+t0 = time.time()
+out = run(params, state, opt_state)
+jax.block_until_ready(out)
+print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+params, state, opt_state = out[0], out[1], out[2]
+
+ts = []
+for _ in range(6):
+    t0 = time.perf_counter()
+    out = run(params, state, opt_state)
+    jax.block_until_ready(out)
+    params, state, opt_state = out[0], out[1], out[2]
+    ts.append(time.perf_counter() - t0)
+med = float(np.median(ts))
+print(f"step: {med*1e3:.1f} ms  ({B/med:.1f} samples/s, "
+      f"{B*SECONDS/med:.0f} audio-sec/s)", flush=True)

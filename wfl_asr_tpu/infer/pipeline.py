@@ -237,6 +237,15 @@ class InferenceSession:
             row += n
         return out
 
+    def decode_predictions(self, logits) -> np.ndarray:
+        """argmax label ids per frame (reference model.py:196-198)."""
+        return np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+
+    def id_to_label(self, ids) -> list:
+        """[[tag, ...], ...] for a batch of id sequences
+        (reference model.py:200-201)."""
+        return [[self.id2label[int(i)] for i in seq] for seq in np.asarray(ids)]
+
     def postprocess_ids(self, logits: np.ndarray,
                         confidence_threshold: float,
                         median_size: int) -> np.ndarray:

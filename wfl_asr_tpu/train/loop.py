@@ -122,7 +122,8 @@ def encoder_freeze_mask(params):
 # ---------------------------------------------------------------------------
 
 def make_train_step(arch: TaggerArch, label_smoothing: float,
-                    subframe_weight: float, tx):
+                    subframe_weight: float, tx,
+                    compute_dtype=jnp.float32):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -131,7 +132,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
         def loss_fn(p):
             logits, offsets, new_state = apply_tagger(
                 p, model_state, arch, audio, lang_ids,
-                max_label_len=max_label_len, rng=rng, train=True)
+                max_label_len=max_label_len, rng=rng, train=True,
+                compute_dtype=compute_dtype)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             return ce + subframe_weight * ol, (new_state, ce, ol, logits,
@@ -365,8 +367,12 @@ def train(config_path: str = "config.yaml",
             + "\n")
         metrics_log.flush()
 
+    compute_dtype = jnp.bfloat16 if str(
+        cfg.raw.get("training", {}).get("compute_dtype", "float32")) \
+        in ("bfloat16", "bf16") else jnp.float32
     train_step = make_train_step(arch, cfg.label_smoothing,
-                                 cfg.subframe_loss_weight, tx)
+                                 cfg.subframe_loss_weight, tx,
+                                 compute_dtype=compute_dtype)
     eval_step = make_eval_step(arch, cfg.label_smoothing)
 
     step = 0
@@ -435,6 +441,9 @@ def train(config_path: str = "config.yaml",
 
     epoch = 0
     last_log = time.time()
+    from ..utils.profiling import maybe_trace
+    profile_ctx = maybe_trace("train")
+    profile_ctx.__enter__()
     while step < cfg.max_steps:
         for batch in train_loader.epoch_batches(epoch):
             if cfg.scheduler_step_on_update:
@@ -531,6 +540,7 @@ def train(config_path: str = "config.yaml",
                 break
         epoch += 1
 
+    profile_ctx.__exit__(None, None, None)
     save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
                           params, model_state, arch, fmt=ckpt_fmt)
     metrics_log.close()
