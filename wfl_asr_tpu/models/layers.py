@@ -93,6 +93,9 @@ def conv1d(p, x: jnp.ndarray, stride: int = 1, padding=0, groups: int = 1,
         pad = [(0, 0)]
     else:
         pad = padding
+    # No preferred_element_type: TPU convs accumulate f32 internally for
+    # bf16 operands anyway, and an f32-output override breaks the conv's
+    # transpose rule under grad (cotangent f32 vs bf16 weights).
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride,),
@@ -100,8 +103,7 @@ def conv1d(p, x: jnp.ndarray, stride: int = 1, padding=0, groups: int = 1,
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)[None, :, None]
     return y
