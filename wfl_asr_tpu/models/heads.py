@@ -229,10 +229,11 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     k = split(linear(params["k"], x))
     v = split(linear(params["v"], x))
     if use_flash:
-        from ..ops.pallas.flash_attention import flash_attention
+        # differentiable Pallas kernel — used in training and inference
+        from ..ops.pallas.flash_attention_bwd import flash_attention_trainable
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
-        attn = flash_attention(q, k, v, kv_len=kv_len)
+        attn = flash_attention_trainable(q, k, v, kv_len)
     else:
         attn = attention_core(q, k, v, mask=mask)
     attn = linear(params["attn_out"],

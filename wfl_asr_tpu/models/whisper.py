@@ -135,8 +135,10 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
         h = layer_norm(layer["attn_ln"], x)
         q, k, v = (split(linear(layer[n], h)) for n in ("q", "k", "v"))
         if arch.use_flash_attention:
-            from ..ops.pallas.flash_attention import flash_attention
-            attn = flash_attention(q, k, v)
+            # differentiable Pallas kernel — used in training and inference
+            from ..ops.pallas.flash_attention_bwd import \
+                flash_attention_trainable
+            attn = flash_attention_trainable(q, k, v)
         else:
             attn = attention_core(q, k, v)
         attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))

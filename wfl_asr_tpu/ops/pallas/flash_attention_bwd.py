@@ -1,0 +1,290 @@
+"""Differentiable flash attention (Pallas fwd + bwd kernels, no-bias case).
+
+``flash_attention_trainable(q, k, v, kv_len)`` is a ``jax.custom_vjp`` op:
+
+- forward: online-softmax kernel that additionally writes the per-row
+  logsumexp L (FlashAttention-2 style residual),
+- backward: two Pallas kernels — dK/dV over key blocks and dQ over query
+  blocks — recomputing P = exp(S − L) tile-by-tile, so no [B,H,T,T] tensor
+  is ever materialized in either direction.
+
+Used by the Whisper encoder and Conformer blocks during training. The WavLM
+path trains with XLA attention because its gated relative position bias
+needs dBias/dGate, which this kernel does not produce (future work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward (writes O and logsumexp L)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
+                block_k: int, sm_scale: float, t_pad: int):
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    kv_len = kvlen_ref[0, 0, 0]
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_start = pl.multiple_of(i * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        k_idx = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(k_idx < kv_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, t_pad // block_k, body, (m0, l0, acc0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward: dK/dV (grid over key blocks) and dQ (grid over query blocks)
+# ---------------------------------------------------------------------------
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     kvlen_ref, dk_ref, dv_ref, *,
+                     block_q: int, sm_scale: float, t_pad: int):
+    block_k, d = k_ref.shape[2], k_ref.shape[3]
+    kv_len = kvlen_ref[0, 0, 0]
+    kb_start = pl.program_id(2) * block_k
+
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    k_idx = kb_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    k_valid = (k_idx < kv_len).astype(jnp.float32)            # [1, BK]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_start = pl.multiple_of(i * block_q, block_q)
+        q_blk = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(q_start, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(q_start, block_q)][:, None]
+
+        s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse) * k_valid                        # [BQ, BK]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale                      # [BQ, BK]
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, t_pad // block_q, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   kvlen_ref, dq_ref, *,
+                   block_k: int, sm_scale: float, t_pad: int):
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    kv_len = kvlen_ref[0, 0, 0]
+    q = q_ref[0, 0].astype(jnp.float32)
+    do_blk = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    def body(i, dq_acc):
+        k_start = pl.multiple_of(i * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * sm_scale, k_blk,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        k_idx = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        p = jnp.exp(s - lse) * (k_idx < kv_len).astype(jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq_acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, t_pad // block_k, body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _pad_inputs(q, k, v, kv_len, block_q, block_k):
+    b, h, t, d = q.shape
+    t_pad = max(-(-t // block_q) * block_q, -(-t // block_k) * block_k)
+    t_pad = -(-t_pad // block_q) * block_q
+    t_pad = -(-t_pad // block_k) * block_k
+    pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if kv_len is None:
+        kv_arr = jnp.full((b,), t, jnp.int32)
+    else:
+        kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    return qp, kp, vp, kv_arr.reshape(b, 1, 1), t_pad
+
+
+
+
+def _fwd_impl(q, k, v, kv_len, block_q, block_k):
+    b, h, t, d = q.shape
+    qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
+    grid = (h, t_pad // block_q, b)
+    kernel = functools.partial(_fwd_kernel, block_k=block_k,
+                               sm_scale=1.0 / np.sqrt(d), t_pad=t_pad)
+    out, lse = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t_pad), jnp.float32)),
+        interpret=_interpret(),
+    )(qp, kp, vp, kv_arr)
+    return out[:, :, :t], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_trainable(q, k, v, kv_len=None,
+                              block_q: int = 256, block_k: int = 512):
+    """Differentiable fused attention (no bias). q/k/v: [B,H,T,D]."""
+    out, _ = _fwd_impl(q, k, v, kv_len, block_q, block_k)
+    return out
+
+
+def _vjp_fwd(q, k, v, kv_len, block_q, block_k):
+    out, lse = _fwd_impl(q, k, v, kv_len, block_q, block_k)
+    return out, (q, k, v, kv_len, out, lse)
+
+
+def _vjp_bwd(block_q, block_k, residuals, g):
+    q, k, v, kv_len, out, lse = residuals
+    b, h, t, d = q.shape
+    qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
+    pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    do = jnp.pad(g, pad)
+    op = jnp.pad(out, pad)
+    # delta = rowsum(dO * O)
+    delta = jnp.sum(do.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+    # padded rows: lse already padded? lse produced at t_pad length.
+
+    sm_scale = 1.0 / np.sqrt(d)
+
+    dkv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, block_q=block_q,
+                          sm_scale=sm_scale, t_pad=t_pad),
+        grid=(h, b, t_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda hi, bi, ki: (bi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda hi, bi, ki: (bi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype)),
+        interpret=_interpret(),
+    )(qp, kp, vp, do, lse, delta, kv_arr)
+    dk, dv = dkv
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k,
+                          sm_scale=sm_scale, t_pad=t_pad),
+        grid=(h, t_pad // block_q, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda hi, qi, bi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        interpret=_interpret(),
+    )(qp, kp, vp, do, lse, delta, kv_arr)
+
+    return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], None
+
+
+flash_attention_trainable.defvjp(_vjp_fwd, _vjp_bwd)

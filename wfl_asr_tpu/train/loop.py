@@ -333,6 +333,15 @@ def train(config_path: str = "config.yaml",
                              frame_duration=cfg.frame_duration)
 
     arch = TaggerArch.from_config(cfg, len(label_list))
+    if jax.devices()[0].platform == "tpu":
+        # Differentiable Pallas flash attention in Conformer blocks and the
+        # Whisper encoder. WavLM trains with XLA attention (its gated
+        # relative-bias gradient isn't in the kernel yet).
+        import dataclasses
+        arch = dataclasses.replace(arch, use_flash_attention=True)
+        if arch.whisper is not None:
+            arch = dataclasses.replace(arch, whisper=dataclasses.replace(
+                arch.whisper, use_flash_attention=True))
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng, ft_rng = jax.random.split(rng, 3)
     params, model_state = init_tagger(init_rng, arch)
