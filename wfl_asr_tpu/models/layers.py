@@ -109,77 +109,6 @@ def conv1d(p, x: jnp.ndarray, stride: int = 1, padding=0, groups: int = 1,
     return y
 
 
-def conv1d_as_matmul(p, x: jnp.ndarray, stride: int,
-                     groups: int = 1) -> jnp.ndarray:
-    """VALID Conv1d expressed as k strided matmuls (channels-last), one per
-    kernel tap: ``out[t] = Σ_j x[t·s + j] @ W[:, :, j]``.
-
-    Measured motivation: XLA's 1-D conv lowering for the WavLM feature stack
-    runs ~3× off matmul roofline on TPU; tap-decomposed matmuls are
-    MXU-shaped. x: [B, C, T] (NCH, matching ``conv1d``); returns [B, C', T'].
-    """
-    if groups != 1:
-        return conv1d(p, x, stride=stride, padding="VALID", groups=groups)
-    w = p["w"]                                            # [C_out, C_in, k]
-    c_out, c_in, k = w.shape
-    b, _, length = x.shape
-    t_out = (length - k) // stride + 1
-    x_tc = jnp.swapaxes(x, 1, 2)                          # [B, T, C_in]
-    acc = None
-    for j in range(k):
-        tap = jax.lax.slice_in_dim(x_tc, j, j + (t_out - 1) * stride + 1,
-                                   axis=1)
-        if stride > 1:
-            tap = tap[:, ::stride]
-        contrib = jnp.einsum("btc,cd->btd", tap, w[:, :, j].T.astype(x.dtype),
-                             preferred_element_type=jnp.float32)
-        acc = contrib if acc is None else acc + contrib
-    y = acc.astype(x.dtype)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)[None, None, :]
-    return jnp.swapaxes(y, 1, 2)
-
-
-def conv1d_grouped_matmul(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """VALID Conv1d with ``k <= 2·stride`` as two contiguous-reshape matmuls.
-
-    Reshape [B, T, C] → groups [B, T/s, s·C] (free); then
-    ``out[t] = g[t] @ W_lo + g[t+1][:, :(k−s)·C] @ W_hi`` — no strided
-    slicing, both contractions MXU-shaped. x: [B, C, T] → [B, C', T'].
-    """
-    w = p["w"]                                            # [O, I, k]
-    c_out, c_in, k = w.shape
-    if k > 2 * stride:
-        return conv1d(p, x, stride=stride, padding="VALID")
-    b, _, length = x.shape
-    t_out = (length - k) // stride + 1
-    x_tc = jnp.swapaxes(x, 1, 2)                          # [B, T, C_in]
-
-    groups_needed = t_out + (1 if k > stride else 0)
-    padded_len = groups_needed * stride
-    if padded_len > length:
-        x_tc = jnp.pad(x_tc, ((0, 0), (0, padded_len - length), (0, 0)))
-    else:
-        x_tc = x_tc[:, :padded_len]
-    g = x_tc.reshape(b, groups_needed, stride * c_in)
-
-    # Tap-major weight layout matching concat(x[st], x[st+1], ...):
-    w_full = jnp.concatenate([w[:, :, j].T for j in range(k)], axis=0)
-    w_full = w_full.astype(x.dtype)                       # [k·I, O]
-    w_lo = w_full[: stride * c_in]
-    out = jnp.einsum("btc,cd->btd", g[:, :t_out], w_lo,
-                     preferred_element_type=jnp.float32)
-    if k > stride:
-        rem = (k - stride) * c_in
-        out = out + jnp.einsum("btc,cd->btd", g[:, 1:t_out + 1, :rem],
-                               w_full[stride * c_in:],
-                               preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype)
-    if "b" in p:
-        out = out + p["b"].astype(x.dtype)[None, None, :]
-    return jnp.swapaxes(out, 1, 2)
-
-
 def init_embedding(rng, n: int, d: int, std: float = 1.0):
     return {"w": jax.random.normal(rng, (n, d), jnp.float32) * std}
 

@@ -36,9 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (attention_core, conv1d, conv1d_as_matmul, dropout,
-                     embedding, gelu, group_norm, init_conv1d,
-                     init_layer_norm, init_linear, layer_norm, linear)
+from .layers import (attention_core, conv1d, dropout, embedding, gelu,
+                     group_norm, init_conv1d, init_layer_norm, init_linear,
+                     layer_norm, linear)
 
 
 @dataclass(frozen=True)
