@@ -67,7 +67,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
     m, l, acc = jax.lax.fori_loop(0, t_pad // block_k, body, (m0, l0, acc0))
 
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))   # [BLOCK_Q, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +91,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_start = pl.multiple_of(i * block_q, block_q)
         q_blk = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(q_start, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(q_start, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]     # [BQ, 1]
+        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]
 
         s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
                                 (((1,), (1,)), ((), ())),
@@ -123,8 +123,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     kv_len = kvlen_ref[0, 0, 0]
     q = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
+    lse = lse_ref[0, 0]       # [BLOCK_Q, 1]
+    delta = delta_ref[0, 0]
 
     def body(i, dq_acc):
         k_start = pl.multiple_of(i * block_k, block_k)
@@ -189,11 +189,12 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, t_pad), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, h, t_pad, 1), jnp.float32)),
         interpret=_interpret(),
     )(qp, kp, vp, kv_arr)
     return out[:, :, :t], lse
@@ -219,8 +220,9 @@ def _vjp_bwd(block_q, block_k, residuals, g):
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
     do = jnp.pad(g, pad)
     op = jnp.pad(out, pad)
-    # delta = rowsum(dO * O)
-    delta = jnp.sum(do.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+    # delta = rowsum(dO * O), kept 4-D [B,H,T,1] for TPU block tiling
+    delta = jnp.sum(do.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=-1, keepdims=True)
     # padded rows: lse already padded? lse produced at t_pad length.
 
     sm_scale = 1.0 / np.sqrt(d)
@@ -238,9 +240,9 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda hi, bi, ki: (bi, hi, 0),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda hi, bi, ki: (bi, hi, 0),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -270,9 +272,11 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda hi, qi, bi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
