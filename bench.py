@@ -85,12 +85,18 @@ def main() -> None:
     jax.block_until_ready(out)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    def hard_sync(out):
+        # On the experimental axon platform block_until_ready does not
+        # reliably block; a device→host transfer of the result forces true
+        # completion (the ids array is ~100 KB — negligible).
+        np.asarray(out[0])
+
     # Latency: one synchronous step.
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         out = infer(params, state, audio, lang_ids, pos_bias)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append(time.perf_counter() - t0)
     times = np.array(times)
     log(f"sync step times: mean={times.mean()*1e3:.1f}ms "
@@ -98,10 +104,12 @@ def main() -> None:
 
     # Throughput: pipelined steps — async dispatch overlaps host/relay
     # overhead with device compute, as a folder/batch serving loop would.
+    # The final host transfer forces completion of the whole FIFO queue.
     t0 = time.perf_counter()
     outs = [infer(params, state, audio, lang_ids, pos_bias)
             for _ in range(iters)]
-    jax.block_until_ready(outs)
+    for o in outs:
+        hard_sync(o)
     pipelined = (time.perf_counter() - t0) / iters
     log(f"pipelined step time: {pipelined*1e3:.1f}ms")
 

@@ -24,14 +24,19 @@ S = 480_000
 DTYPE = jnp.bfloat16
 
 
+def hard_sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timeit(fn, *args, iters=6):
     out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        hard_sync(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

@@ -53,10 +53,17 @@ def run(p, ms, os_):
                 max_label_len=T)
 
 
+def hard_sync(out):
+    # axon block_until_ready does not reliably block; a host transfer of an
+    # updated-param leaf forces completion of the whole step.
+    np.asarray(jax.tree_util.tree_leaves(out[0])[0])
+    float(out[3]["loss"])
+
+
 print(f"train step: B={B} x {SECONDS}s audio (T={T})", flush=True)
 t0 = time.time()
 out = run(params, state, opt_state)
-jax.block_until_ready(out)
+hard_sync(out)
 print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
 params, state, opt_state = out[0], out[1], out[2]
 
@@ -64,7 +71,7 @@ ts = []
 for _ in range(6):
     t0 = time.perf_counter()
     out = run(params, state, opt_state)
-    jax.block_until_ready(out)
+    hard_sync(out)
     params, state, opt_state = out[0], out[1], out[2]
     ts.append(time.perf_counter() - t0)
 med = float(np.median(ts))
