@@ -333,12 +333,16 @@ def train(config_path: str = "config.yaml",
                              frame_duration=cfg.frame_duration)
 
     arch = TaggerArch.from_config(cfg, len(label_list))
-    # Training keeps XLA attention everywhere: measured on v5e, XLA's fused
-    # attention fwd+bwd beats the Pallas flash fwd+bwd at these shapes
-    # (whisper-base train step 9.4 ms vs 56 ms) — the flash win is specific
-    # to WavLM *inference*, where XLA materializes the gated [B,H,T,T] bias.
-    # flash_attention_trainable remains available via use_flash_attention
-    # arch flags for memory-bound configurations.
+    if jax.devices()[0].platform == "tpu":
+        # Differentiable Pallas flash attention for the Whisper encoder and
+        # Conformer blocks (measured: whisper-base train step 178 ms vs
+        # 191 ms XLA at B=8×30 s). WavLM trains with XLA attention — its
+        # gated relative-bias gradient isn't in the kernel yet.
+        import dataclasses
+        arch = dataclasses.replace(arch, use_flash_attention=True)
+        if arch.whisper is not None:
+            arch = dataclasses.replace(arch, whisper=dataclasses.replace(
+                arch.whisper, use_flash_attention=True))
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng, ft_rng = jax.random.split(rng, 3)
     params, model_state = init_tagger(init_rng, arch)
