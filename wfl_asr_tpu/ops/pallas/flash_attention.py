@@ -29,8 +29,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get("WFL_FLASH_BQ", "256"))
+DEFAULT_BLOCK_K = int(os.environ.get("WFL_FLASH_BK", "512"))
 NEG_INF = -1e30
 
 
