@@ -2,16 +2,22 @@
 
 Targets the C_in=C_out=512, k∈{2,3}, stride-2 VALID convolutions (layers
 1-6 of the stack), which XLA runs ~2.5× off roofline at these shapes
-(docs/PERFORMANCE.md). Strategy per output tile:
+(docs/PERFORMANCE.md).
 
-- DMA the input span (tile·s + k−s rows, channels-last) from HBM into VMEM,
-- reshape [tile·s, C] → [tile, s·C] so each output row's first s taps are
-  contiguous lanes → ONE matmul with contraction dim s·C=1024 against the
-  tap-packed weights, plus one [tile, C]×[C, C_out] matmul for the k>s tap,
-- fused GELU on the accumulator.
+Design (k ≤ 2s, tap-grouped matmuls, everything BlockSpec-pipelined):
 
-Weights stay VMEM-resident across the grid; the input is read exactly once.
-Forward-only (inference); training keeps XLA convs.
+- Input is viewed channels-last and reshaped per block to [tile, s·C], so
+  the first s taps of every output row are contiguous lanes → ONE matmul
+  with contraction dim s·C against tap-packed weights ``W01``.
+- The k>s tap needs the *next* output row's group. Computed as
+  ``t2 = v0[:, :C] @ W2`` then shifted up one row with an f32 sublane
+  rotate (32-bit rotates are supported by Mosaic; bf16 ones are not), and
+  the last row is corrected from a small 8-row view of the next block.
+- No manual DMA: all operands are BlockSpec blocks, so Pallas
+  double-buffers the HBM→VMEM streams automatically.
+
+Forward-only convenience (inference); training keeps XLA convs. GELU is
+applied by the caller (Mosaic cannot lower erf).
 """
 
 from __future__ import annotations
@@ -27,39 +33,33 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512
 
 
-def _kernel(x_hbm, w01_ref, w2_ref, out_ref, scratch, sem, *,
-            tile: int, k: int, s: int, span: int, apply_gelu: bool):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    in_start = pl.multiple_of(ti * tile * s, tile * s)
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(in_start, span), :], scratch, sem)
-    copy.start()
-    copy.wait()
-
-    c_in = scratch.shape[1]
-    v0 = scratch[pl.ds(0, tile * s), :].reshape(tile, s * c_in)
+def _kernel(x_ref, xnext_ref, w01_ref, w2_ref, out_ref, *,
+            tile: int, k: int, s: int):
+    c_in = x_ref.shape[2]
+    v0 = x_ref[0].reshape(tile, s * c_in)
     acc = jax.lax.dot_general(
         v0, w01_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     if k > s:
-        v1 = scratch[pl.ds(s, tile * s), :].reshape(tile, s * c_in)
         rem = (k - s) * c_in
-        acc = acc + jax.lax.dot_general(
-            v1[:, :rem], w2_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    if apply_gelu:
-        acc = jax.nn.gelu(acc, approximate=False)
+        t2 = jax.lax.dot_general(
+            v0[:, :rem], w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # needed at row-1
+        t2_up = pltpu.roll(t2, shift=tile - 1, axis=0)   # row t ← t2[t+1]
+        # last row correction from the next block's first group
+        gnext = xnext_ref[0, pl.ds(0, 8), :]             # [8, C]
+        last = jax.lax.dot_general(
+            gnext[:s].reshape(1, s * c_in)[:, :rem], w2_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, t2_up.shape, 0)
+        acc = acc + jnp.where(row_idx == tile - 1, last, t2_up)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("stride", "apply_gelu", "tile"))
+@functools.partial(jax.jit, static_argnames=("stride", "tile"))
 def conv_stride_matmul(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
-                       apply_gelu: bool = True,
                        tile: int = DEFAULT_TILE) -> jnp.ndarray:
-    """VALID Conv1d (k ≤ 2·stride, no bias) + optional fused GELU.
+    """VALID Conv1d (k ≤ 2·stride, no bias).
 
     x: [B, T, C_in] (channels-last); w: [C_out, C_in, k] (torch layout).
     Returns [B, T_out, C_out].
@@ -71,34 +71,35 @@ def conv_stride_matmul(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
     t_out = (t_in - k) // stride + 1
     n_tiles = -(-t_out // tile)
 
-    # Pad the time axis so every tile's input span exists.
-    span = tile * stride + stride  # tile*s rows + one extra group for k>s
-    needed = (n_tiles - 1) * tile * stride + span
+    # Pad so n_tiles+1 full blocks exist (the "next block" view of the last
+    # tile reads one block beyond).
+    needed = (n_tiles + 1) * tile * stride
     if needed > t_in:
         x = jnp.pad(x, ((0, 0), (0, needed - t_in), (0, 0)))
 
-    # Tap-packed weights: rows ordered (tap0 channels..., tap1 channels...).
-    w_taps = [jnp.asarray(w[:, :, j]).T for j in range(k)]       # [C_in, C_out]
-    w01 = jnp.concatenate(w_taps[:stride] if k >= stride else w_taps,
-                          axis=0)                                 # [s·C_in, C_out]
-    if k < stride:
-        w01 = jnp.concatenate(
-            [w01, jnp.zeros(((stride - k) * c_in, c_out), w01.dtype)], axis=0)
-    if k > stride:
-        w2 = jnp.concatenate(w_taps[stride:], axis=0)            # [(k−s)·C_in, C_out]
-    else:
-        w2 = jnp.zeros((c_in, c_out), w01.dtype)
+    # Tap-packed weights, rows ordered (tap0 channels..., tap1 channels...).
+    w_taps = [jnp.asarray(w[:, :, j]).T for j in range(k)]
+    w01 = jnp.concatenate(w_taps[:stride], axis=0) if k >= stride else \
+        jnp.concatenate(
+            w_taps + [jnp.zeros(((stride - k) * c_in, c_out), x.dtype)], axis=0)
+    w2 = (jnp.concatenate(w_taps[stride:], axis=0) if k > stride
+          else jnp.zeros((c_in, c_out), x.dtype))
     w01 = w01.astype(x.dtype)
     w2 = w2.astype(x.dtype)
 
-    kernel = functools.partial(_kernel, tile=tile, k=k, s=stride, span=span,
-                               apply_gelu=apply_gelu)
+    block_rows = tile * stride
+    kernel = functools.partial(_kernel, tile=tile, k=k, s=stride)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                # x in HBM
-            pl.BlockSpec((w01.shape[0], c_out), lambda bi, ti: (0, 0),
+            pl.BlockSpec((1, block_rows, c_in),
+                         lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, c_in),
+                         lambda bi, ti: (bi, ti + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride * c_in, c_out), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w2.shape[0], c_out), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -106,10 +107,6 @@ def conv_stride_matmul(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
         out_specs=pl.BlockSpec((1, tile, c_out), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, c_out), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((span, c_in), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=jax.devices()[0].platform != "tpu",
-    )(x, w01, w2)
+    )(x, x, w01, w2)
     return out[:, :t_out]
