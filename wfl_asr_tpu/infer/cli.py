@@ -79,7 +79,15 @@ def main(path, checkpoint, config, output, lang_id, sample, top_k, top_p,
         confidence_threshold = raw_cfg.get("postprocess", {}) \
             .get("confidence_threshold", 0.0)
 
-    output_path = inf_path if output == "." else output
+    if output == ".":
+        # The reference sets output_path to the input path itself here
+        # (infer.py:410-411), which for a single file overwrites the .wav
+        # with label text. Deviation: default single-file output goes to the
+        # sibling .lab instead.
+        output_path = (inf_path if inf_path.is_dir()
+                       else inf_path.with_suffix(".lab"))
+    else:
+        output_path = output
     if not inf_path.exists():
         print(f"Unable to locate folder {inf_path}")
         sys.exit(1)
