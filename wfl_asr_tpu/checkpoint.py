@@ -13,7 +13,6 @@ Rotation/best/last semantics mirror reference train.py:276-290, 420-433, 453.
 
 from __future__ import annotations
 
-import io
 import os
 import re
 from typing import Any, Dict, Optional, Tuple

@@ -14,7 +14,6 @@ Fork-only keys seen in the wild (``enable_duration_prediction``,
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 import yaml

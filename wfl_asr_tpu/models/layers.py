@@ -22,7 +22,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:

@@ -29,16 +29,16 @@ softmax/LN statistics run in f32 with bf16-castable activations.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (attention_core, conv1d, dropout, embedding, gelu,
-                     group_norm, init_conv1d, init_layer_norm, init_linear,
-                     layer_norm, linear)
+from .layers import (attention_core, conv1d, dropout, gelu, group_norm,
+                     init_conv1d, init_layer_norm, init_linear, layer_norm,
+                     linear)
 
 
 @dataclass(frozen=True)

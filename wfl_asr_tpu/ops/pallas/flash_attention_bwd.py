@@ -16,7 +16,6 @@ needs dBias/dGate, which this kernel does not produce (future work).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

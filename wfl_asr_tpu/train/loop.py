@@ -30,7 +30,6 @@ import functools
 import inspect
 import os
 import time
-from typing import Dict, Optional
 
 import numpy as np
 

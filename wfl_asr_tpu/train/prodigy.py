@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax
