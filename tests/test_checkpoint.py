@@ -58,6 +58,45 @@ def test_find_resume(tmp_path):
     assert find_resume_checkpoint(str(tmp_path / "..")) is None or True
 
 
+def test_find_resume_orbax_and_rotation(tmp_path):
+    """Orbax-format checkpoints must be discovered on resume and removed on
+    rotation (ADVICE r1: the old regex never matched .pt.orbax dirs, so
+    orbax runs silently restarted from scratch and dirs accumulated)."""
+    from wfl_asr_tpu.checkpoint import remove_checkpoint
+
+    arch = small_arch()
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    for step in (5, 20, 10):
+        save_model_checkpoint(str(tmp_path / f"model_step{step}.pt"),
+                              params, state, arch, fmt="orbax")
+    found = find_resume_checkpoint(str(tmp_path))
+    assert found is not None
+    path, step = found
+    assert step == 20 and path.endswith("model_step20.pt")
+    # the returned .pt-rooted path loads the orbax payload
+    restored_params, _ = load_model_checkpoint(path, arch)
+    assert_trees_equal(params, restored_params)
+
+    remove_checkpoint(str(tmp_path / "model_step5.pt"))
+    assert not os.path.exists(str(tmp_path / "model_step5.pt.orbax"))
+    found = find_resume_checkpoint(str(tmp_path))
+    assert found is not None and found[1] == 20
+
+
+def test_remove_checkpoint_all_formats(tmp_path):
+    arch = small_arch()
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    from wfl_asr_tpu.checkpoint import remove_checkpoint
+    path = str(tmp_path / "model_step3.pt")
+    save_model_checkpoint(path, params, state, arch, fmt="pt")
+    save_train_state(path, {"m": np.zeros(2)}, 3,
+                     np.asarray(jax.random.PRNGKey(0)))
+    assert os.path.exists(path)
+    remove_checkpoint(path)
+    assert not os.path.exists(path)
+    assert not os.path.exists(str(tmp_path / "model_step3.train.npz"))
+
+
 def test_train_state_sidecar(tmp_path):
     arch = small_arch()
     params, _ = init_tagger(jax.random.PRNGKey(0), arch)

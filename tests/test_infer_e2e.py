@@ -58,10 +58,13 @@ def _our_session(config_path, ckpt_path, encoder_type, labels):
     return session
 
 
-@pytest.mark.parametrize("encoder_type", ["none", "wavlm"])
+@pytest.mark.parametrize("encoder_type", ["none", "wavlm", "whisper"])
 @pytest.mark.parametrize("lang_id", [1, None])
 def test_lab_parity_short(reference_tagger_module, tmp_path, encoder_type,
                           lang_id):
+    """Whisper included: its inference decode covers all 1500 frames of the
+    fixed 30 s pad (reference model.py:153-156, infer.py:251-302) — byte
+    parity proves the 1500-frame quirk end to end, not just at unit level."""
     ref_model, _, _ = reference_tagger_module
     labels, config, config_path, ckpt_path, _ = _setup_run(
         ref_model, tmp_path, encoder_type, f"{encoder_type}_{lang_id}")
@@ -130,6 +133,89 @@ def test_lab_parity_chunked_and_forced(reference_tagger_module, tmp_path):
                 lang_id=0, confidence_threshold=0.3)
     assert open(our_dir / "u.lab").read() == first
     assert (our_dir / ".wfl_cache").is_dir()
+
+
+def test_lab_parity_whisper_chunked_forced(reference_tagger_module, tmp_path):
+    """>30 s whisper audio: each chunk runs the fixed 30 s pad → 1500-frame
+    decode (reference model.py:153-156, infer.py:98-184); forced alignment
+    on top. Byte parity vs the actual reference infer.py."""
+    ref_model, _, _ = reference_tagger_module
+    encoder_type = "whisper"
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, encoder_type, "whisper_chunked")
+
+    rng = np.random.RandomState(9)
+    audio = (rng.randn(int(16000 * 42.0)) * 0.4).astype(np.float64)
+
+    ref_dir = tmp_path / "refwav_wchunk"
+    our_dir = tmp_path / "ourwav_wchunk"
+    ref_dir.mkdir(); our_dir.mkdir()
+    for d in (ref_dir, our_dir):
+        write_wav(str(d / "u.wav"), audio, 16000)
+        (d / "u.txt").write_text("p0 p1 p2 p0\n")
+
+    sys.modules["soundfile"].read = read_wav
+    ref_infer = sys.modules["infer"]
+    ref_infer.infer_audio(str(ref_dir / "u.wav"), config_path, ckpt_path,
+                          output_lab_path=str(ref_dir / "u.lab"),
+                          device="cpu", lang_id=None,
+                          confidence_threshold=0.3)
+
+    _our_session(config_path, ckpt_path, encoder_type, labels)
+    from wfl_asr_tpu.infer import infer_audio
+    infer_audio(str(our_dir / "u.wav"), config_path, ckpt_path,
+                output_lab_path=str(our_dir / "u.lab"), device="cpu",
+                lang_id=None, confidence_threshold=0.3)
+    assert open(our_dir / "u.lab").read() == open(ref_dir / "u.lab").read()
+
+
+def test_reference_reads_our_cache(reference_tagger_module, tmp_path):
+    """Reverse interop: a .wfl_cache written by OUR pipeline must load in
+    the reference's bare torch.load cache path (infer.py:246-249) and yield
+    the same .lab (ADVICE r1: .npy-format entries crashed it)."""
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", "cacherev")
+
+    rng = np.random.RandomState(12)
+    audio = (rng.randn(16000) * 0.4).astype(np.float64)
+    d = tmp_path / "cachewav_rev"
+    d.mkdir()
+    write_wav(str(d / "u.wav"), audio, 16000)
+
+    _our_session(config_path, ckpt_path, "none", labels)
+    from wfl_asr_tpu.infer import infer_audio
+    infer_audio(str(d / "u.wav"), config_path, ckpt_path,
+                output_lab_path=str(d / "our.lab"), device="cpu", lang_id=0,
+                confidence_threshold=0.5)
+    cache_files = sorted(os.listdir(d / ".wfl_cache"))
+    assert cache_files  # our run populated the cache
+
+    sys.modules["soundfile"].read = read_wav
+    ref_infer = sys.modules["infer"]
+    ref_infer.infer_audio(str(d / "u.wav"), config_path, ckpt_path,
+                          output_lab_path=str(d / "ref.lab"), device="cpu",
+                          lang_id=0, confidence_threshold=0.5)
+    assert open(d / "ref.lab").read() == open(d / "our.lab").read()
+
+
+def test_batched_folder_invalid_lang_raises(reference_tagger_module,
+                                            tmp_path):
+    """infer_folder_batched validates lang_id like _predict_segment does
+    (ADVICE r1: it was silently clamped by the embedding gather)."""
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", "badlang")
+    d = tmp_path / "badlangwav"
+    d.mkdir()
+    write_wav(str(d / "u.wav"),
+              (np.random.RandomState(1).randn(8000) * 0.4), 16000)
+
+    _our_session(config_path, ckpt_path, "none", labels)
+    from wfl_asr_tpu.infer.pipeline import infer_folder_batched
+    with pytest.raises(ValueError, match="Language ID"):
+        infer_folder_batched(str(d), config_path, ckpt_path,
+                             output_dir=str(tmp_path / "outbad"), lang_id=99)
 
 
 def test_reads_reference_torch_cache(reference_tagger_module, tmp_path):

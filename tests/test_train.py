@@ -231,6 +231,62 @@ def test_unknown_scheduler_raises():
         get_scheduler("Bogus", {})
 
 
+def test_scheduler_val_path_jumps_to_global_step(reference_oracle):
+    """Per-validation path: the reference calls scheduler.step(step) with
+    the GLOBAL step whenever step() accepts an epoch/step argument — torch's
+    always does (train.py:445-449). Parity vs the actual reference
+    lr_schedulers.WarmupLR driven the same way."""
+    import inspect
+    import warnings
+
+    import lr_schedulers as ref_sched
+    import torch
+
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    base_lr = 1.0
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = ref_sched.get_scheduler(opt, "WarmupLR", {"warmup_steps": 1000})
+    ours = get_scheduler("WarmupLR", {"warmup_steps": 1000})
+
+    # the reference's dispatch condition holds for torch schedulers
+    sig = inspect.signature(ref.step)
+    assert "epoch" in sig.parameters or "step" in sig.parameters
+
+    for step in (250, 500, 750, 2000, 2500):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # torch deprecates step(epoch)
+            ref.step(step)
+        ours.step(step)
+        assert base_lr * ours.factor == pytest.approx(
+            opt.param_groups[0]["lr"]), f"mismatch at step {step}"
+
+
+def test_scheduler_step_on_update_order(reference_oracle):
+    """Per-update path: the reference steps the scheduler AFTER
+    optimizer.step() (train.py:254-259), so update N runs at the factor
+    from N-1 prior steps — the first update uses lr 0 under WarmupLR."""
+    import lr_schedulers as ref_sched
+    import torch
+
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = ref_sched.get_scheduler(opt, "WarmupLR", {"warmup_steps": 4})
+    ours = get_scheduler("WarmupLR", {"warmup_steps": 4})
+
+    ref_used, ours_used = [], []
+    for _ in range(6):
+        ref_used.append(opt.param_groups[0]["lr"])  # lr the update runs at
+        ref.step()
+        ours_used.append(ours.factor)               # loop.py: set_lr() first
+        ours.step()                                 # ... step after update
+    assert ours_used == pytest.approx(ref_used)
+    assert ours_used[0] == 0.0 and ours_used[4] == 1.0
+
+
 # ---------------------------------------------------------------------------
 # End-to-end tiny training run
 # ---------------------------------------------------------------------------

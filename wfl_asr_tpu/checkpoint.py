@@ -182,13 +182,30 @@ def load_train_state(model_path: str, opt_state_template):
 
 
 def find_resume_checkpoint(save_dir: str) -> Optional[Tuple[str, int]]:
-    """Latest ``model_step{N}.pt`` in save_dir (reference train.py:420-427)."""
+    """Latest ``model_step{N}.pt`` in save_dir (reference train.py:420-427),
+    in any of the on-disk formats (``.pt`` torch, ``.pt.npz`` torch-less
+    fallback, ``.pt.orbax`` directory). Returns the ``.pt``-rooted path —
+    ``load_model_checkpoint`` resolves the actual format from it."""
     found = []
     for name in os.listdir(save_dir):
-        m = re.fullmatch(r"model_step(\d+)\.pt(\.npz)?", name)
+        m = re.fullmatch(r"model_step(\d+)\.pt(\.npz|\.orbax)?", name)
         if m:
-            found.append((int(m.group(1)), name))
+            root = name.removesuffix(".npz").removesuffix(".orbax")
+            found.append((int(m.group(1)), root))
     if not found:
         return None
     step, name = max(found)
-    return os.path.join(save_dir, name.removesuffix(".npz")), step
+    return os.path.join(save_dir, name), step
+
+
+def remove_checkpoint(model_path: str) -> None:
+    """Delete a checkpoint in every on-disk format plus its train sidecar
+    (rotation helper; reference train.py:281-284 removes only the ``.pt``)."""
+    import shutil
+    for victim in (model_path, model_path + ".npz",
+                   train_sidecar_path(model_path)):
+        if os.path.exists(victim):
+            os.remove(victim)
+    orbax_dir = model_path + ".orbax"
+    if os.path.isdir(orbax_dir):
+        shutil.rmtree(orbax_dir)

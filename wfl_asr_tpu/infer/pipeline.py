@@ -263,8 +263,16 @@ class InferenceSession:
 # ---------------------------------------------------------------------------
 
 def _cache_save(path: str, arr: np.ndarray) -> None:
-    with open(path, "wb") as f:
-        np.save(f, arr)
+    """Write a cache entry the reference can read back: its cache-read path
+    does a bare ``torch.load`` on any existing file (infer.py:127-131,
+    246-249), so entries are torch-format when torch is importable, with a
+    raw ``.npy`` fallback for torch-less deployments."""
+    try:
+        import torch
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+    except ImportError:
+        with open(path, "wb") as f:
+            np.save(f, arr)
 
 
 def _cache_load(path: str) -> Optional[np.ndarray]:
@@ -508,6 +516,13 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
     median_size = session.cfg.median_filter
     lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
     lang_name = _lang_name_for(session, lang_id)
+    if lang_id is not None and session.lang2id \
+            and lang_id > max(session.lang2id.values()):
+        # Same validation as _predict_segment / reference infer.py:257-259 —
+        # otherwise jnp.take clamps the embedding gather and silently emits
+        # wrong labels.
+        raise ValueError(f"Language ID {lang_id} is invalid. "
+                         f"Available: {session.lang2id}")
     langs = ([lang_id] if lang_id is not None
              else sorted(session.lang2id.values()) or [0])
 

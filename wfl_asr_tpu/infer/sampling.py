@@ -37,7 +37,6 @@ def top_p_sample(rng: jax.Array, logits: jnp.ndarray, p: float = 0.9,
     keep_sorted = cum <= p
     keep_sorted = keep_sorted.at[:, 0].set(True)
     # scatter the keep mask back to class order
-    keep = jnp.zeros_like(keep_sorted)
     keep = jnp.take_along_axis(
         keep_sorted, jnp.argsort(order, axis=-1), axis=-1)
     filtered = jnp.where(keep, probs, 0.0)

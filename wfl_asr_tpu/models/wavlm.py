@@ -282,10 +282,9 @@ def encoder_layer(layer, arch: WavLMArch, x: jnp.ndarray,
         attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
     x = x + attn
 
-    if arch.do_stable_layer_norm:
-        # pre-LN flavor (wavlm-large): LN applied before attention instead —
-        # handled by caller; this branch is unused for base configs.
-        raise NotImplementedError
+    # post-LN flavor only (wavlm-base); pre-LN (wavlm-large) is dispatched
+    # to encoder_layer_stable_ln before this is ever called.
+    assert not arch.do_stable_layer_norm
     x = layer_norm(layer["attn_ln"], x, arch.layer_norm_eps)
 
     h = linear(layer["ff_in"], x)

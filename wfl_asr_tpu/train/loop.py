@@ -38,8 +38,8 @@ import jax.numpy as jnp
 import optax
 
 from ..checkpoint import (find_resume_checkpoint, load_model_checkpoint,
-                          load_train_state, save_model_checkpoint,
-                          save_train_state)
+                          load_train_state, remove_checkpoint,
+                          save_model_checkpoint, save_train_state)
 from ..config import Config
 from ..data.dataset import BatchLoader, PhonemeDataset, split_dataset
 from ..labels import (canonical_to_lang, clean_lab, decode_bio_tags,
@@ -420,11 +420,15 @@ def train(config_path: str = "config.yaml",
             print("[INFO] Restored optimizer state from sidecar")
         # best_loss intentionally resets to inf on resume — reference
         # behavior (quirk Q4, train.py:432-433).
-        existing = sorted(
-            (int(f.replace("model_step", "").split(".")[0]), f)
-            for f in os.listdir(save_dir)
-            if f.startswith("model_step") and ".pt" in f
-            and not f.endswith(".train.npz"))
+        # Rebuild the rotation list from the .pt-rooted names, deduped
+        # across on-disk formats (.pt / .pt.npz / .pt.orbax).
+        import re as _re
+        roots = {}
+        for f in os.listdir(save_dir):
+            m = _re.fullmatch(r"model_step(\d+)\.pt(\.npz|\.orbax)?", f)
+            if m:
+                roots[int(m.group(1))] = f"model_step{m.group(1)}.pt"
+        existing = sorted(roots.items())
         checkpoint_paths = [os.path.join(save_dir, f) for _, f in
                             existing[-cfg.max_checkpoints:]]
     else:
@@ -455,9 +459,8 @@ def train(config_path: str = "config.yaml",
     profile_ctx.__enter__()
     while step < cfg.max_steps:
         for batch in train_loader.epoch_batches(epoch):
-            if cfg.scheduler_step_on_update:
-                scheduler.step()
             set_lr()
+            lr_used = base_lr * scheduler.factor
             rng, step_rng = jax.random.split(rng)
             if mesh is not None:
                 from ..parallel import shard_batch
@@ -478,6 +481,10 @@ def train(config_path: str = "config.yaml",
                            arrays["off_channels"], arrays["off_fracs"],
                            arrays["off_valid"],
                            max_label_len=batch["max_label_len"])
+            if cfg.scheduler_step_on_update:
+                # After the update, as the reference does (train.py:254-259):
+                # the update at step N runs with the factor from N-1 steps.
+                scheduler.step()
             step += 1
 
             loss_val = float(metrics["loss"])
@@ -506,7 +513,7 @@ def train(config_path: str = "config.yaml",
                 writer.add_scalar("train/loss", loss_val, step)
                 writer.add_scalar("train/offset_loss", offset_val, step)
             log_event("train", step, loss=loss_val, offset_loss=offset_val,
-                      lr=base_lr * scheduler.factor)
+                      lr=lr_used)
             now = time.time()
             print(f"\r[Step {step}] Loss: {loss_val:.4f} "
                   f"({1.0 / max(now - last_log, 1e-9):.2f} it/s)", end="")
@@ -524,11 +531,7 @@ def train(config_path: str = "config.yaml",
                                  np.asarray(rng))
                 checkpoint_paths.append(model_path)
                 if len(checkpoint_paths) > cfg.max_checkpoints:
-                    stale = checkpoint_paths.pop(0)
-                    for victim in (stale, stale + ".npz",
-                                   stale.replace(".pt", ".train.npz")):
-                        if os.path.exists(victim):
-                            os.remove(victim)
+                    remove_checkpoint(checkpoint_paths.pop(0))
                 if val_loss < best_loss:
                     best_loss = val_loss
                     save_model_checkpoint(
@@ -540,7 +543,12 @@ def train(config_path: str = "config.yaml",
                     if type(scheduler).__name__ == "ReduceLROnPlateau":
                         scheduler.step(best_loss)
                     else:
-                        scheduler.step()
+                        # The reference jumps the scheduler to the global
+                        # step when step() accepts an epoch/step argument —
+                        # torch's always does (train.py:445-449). Without
+                        # this, WarmupLR/StepLR/Cosine advance once per
+                        # validation instead of tracking the step count.
+                        scheduler.step(step)
                 if writer is not None:
                     writer.add_scalar("train/learning_rate",
                                       base_lr * scheduler.factor, step)
