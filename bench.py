@@ -55,7 +55,7 @@ def main() -> None:
     params = jax.device_put(params)
     state = jax.device_put(state)
 
-    chunk_s = 30.0
+    chunk_s = float(os.environ.get("WFL_BENCH_CHUNK_S", "30.0"))
     samples = int(chunk_s * 16000)
 
     # Session-style precompute: the position bias depends only on (params, T)
@@ -76,8 +76,24 @@ def main() -> None:
         return ids, offsets
 
     rng = np.random.RandomState(0)
-    audio = jnp.asarray((rng.randn(batch, samples) * 0.1).astype(np.float32))
-    lang_ids = jnp.asarray(np.zeros(batch, np.int32))
+    audio = (rng.randn(batch, samples) * 0.1).astype(np.float32)
+    lang_ids = np.zeros(batch, np.int32)
+
+    # WFL_BENCH_DP=1: shard batch rows over all visible devices (identical
+    # math, rows on the mesh 'data' axis — the serving-path DP story).
+    if os.environ.get("WFL_BENCH_DP") == "1" and len(jax.devices()) > 1:
+        from wfl_asr_tpu.parallel import (batch_sharding, make_mesh,
+                                          replicate)
+        mesh = make_mesh()
+        log(f"data parallel over mesh {dict(mesh.shape)}")
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        pos_bias = replicate(pos_bias, mesh)
+        audio = jax.device_put(audio, batch_sharding(mesh, 2))
+        lang_ids = jax.device_put(lang_ids, batch_sharding(mesh, 1))
+    else:
+        audio = jnp.asarray(audio)
+        lang_ids = jnp.asarray(lang_ids)
 
     log("compiling...")
     t0 = time.time()

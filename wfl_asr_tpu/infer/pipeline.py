@@ -75,7 +75,8 @@ class InferenceSession:
     """A loaded tagger + compiled bucketed forward."""
 
     def __init__(self, config_path: str, checkpoint_path: str,
-                 compute_dtype=jnp.float32, arch: Optional[TaggerArch] = None):
+                 compute_dtype=jnp.float32, arch: Optional[TaggerArch] = None,
+                 mesh=None):
         self.cfg = Config.load(config_path)
         save_dir = self.cfg.save_dir
         self.label_list = load_phoneme_list(os.path.join(save_dir, "phonemes.txt"))
@@ -100,8 +101,17 @@ class InferenceSession:
                     self.arch, whisper=dataclasses.replace(
                         self.arch.whisper, use_flash_attention=True))
         params, state = load_model_checkpoint(checkpoint_path, self.arch)
-        self.params = jax.device_put(params)
-        self.state = jax.device_put(state)
+        # Serving-path data parallelism: with a mesh, params/state are
+        # replicated and batch rows shard on 'data' (the training-side DP
+        # story extended to inference; SURVEY.md §2 parallelism table).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+            self.params = replicate(params, mesh)
+            self.state = replicate(state, mesh)
+        else:
+            self.params = jax.device_put(params)
+            self.state = jax.device_put(state)
         self.compute_dtype = compute_dtype
         self.sr = self.cfg.sample_rate
         self._pos_bias_cache: Dict[int, jnp.ndarray] = {}
@@ -114,6 +124,22 @@ class InferenceSession:
                              audio, lang_ids, sample_mask, frame_mask,
                              self._pos_bias_for(t_pad), masked, precentered,
                              self.compute_dtype)
+
+    def _put(self, x) -> jnp.ndarray:
+        """Device-put a batch array; with a mesh, shard rows on 'data'."""
+        x = np.ascontiguousarray(x)
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel import batch_sharding
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+
+    def _row_count(self, n: int) -> int:
+        """Rows to run for n real rows (padded up to a 'data'-axis multiple
+        under a mesh so every device gets equal work)."""
+        if self.mesh is None:
+            return n
+        d = self.mesh.shape["data"]
+        return ((n + d - 1) // d) * d
 
     def _pos_bias_for(self, t_pad: int):
         """Per-bucket-length precomputed WavLM position bias (params are
@@ -147,6 +173,7 @@ class InferenceSession:
         """
         s_true = len(audio)
         L = len(lang_ids)
+        R = self._row_count(L)  # mesh-padded row count (extra rows dropped)
         bucket = max(int(np.ceil(s_true / (BUCKET_SECONDS * self.sr))), 1) \
             * int(BUCKET_SECONDS * self.sr)
         t_ref = self.num_frames_for(s_true)
@@ -159,25 +186,27 @@ class InferenceSession:
             centered = np.pad(audio.astype(np.float32), pad_n, mode="reflect")
             buf = np.zeros(bucket + 2 * pad_n, np.float32)
             buf[:len(centered)] = centered
-            batch = np.broadcast_to(buf, (L, len(buf)))
+            batch = np.broadcast_to(buf, (R, len(buf)))
             precentered = True
         else:
             buf = np.zeros(bucket, np.float32)
             buf[:s_true] = audio
-            batch = np.broadcast_to(buf, (L, bucket))
+            batch = np.broadcast_to(buf, (R, bucket))
 
         t_pad = self.num_frames_for(bucket)
-        sample_mask = jnp.broadcast_to(
-            jnp.arange(bucket) < s_true, (L, bucket))
-        frame_mask = jnp.broadcast_to(jnp.arange(t_pad) < t_ref, (L, t_pad))
+        row_langs = np.zeros(R, np.int32)
+        row_langs[:L] = np.asarray(lang_ids, np.int32)
+        sample_mask = np.broadcast_to(
+            np.arange(bucket) < s_true, (R, bucket))
+        frame_mask = np.broadcast_to(np.arange(t_pad) < t_ref, (R, t_pad))
         masked = (self.arch.encoder_type != "whisper") and (s_true != bucket)
 
         logits, offsets = self._jit_forward(
-            jnp.asarray(np.ascontiguousarray(batch)),
-            jnp.asarray(np.asarray(lang_ids, np.int32)),
-            sample_mask, frame_mask, masked, precentered, t_pad)
-        logits = np.asarray(logits[:, :t_ref])
-        offsets = np.asarray(offsets[:, :t_ref])
+            self._put(batch), self._put(row_langs),
+            self._put(sample_mask), self._put(frame_mask),
+            masked, precentered, t_pad)
+        logits = np.asarray(logits[:L, :t_ref])
+        offsets = np.asarray(offsets[:L, :t_ref])
         return logits, offsets
 
     def forward_many(self, audios: Sequence[np.ndarray],
@@ -211,20 +240,27 @@ class InferenceSession:
                 rows_lang.append(lang)
                 row_owner.append(i)
 
+        # Mesh padding: duplicate the last row up to a 'data'-axis multiple
+        # (outputs beyond the real row count are never read back).
+        n_real = len(rows_audio)
+        for _ in range(self._row_count(n_real) - n_real):
+            rows_audio.append(rows_audio[-1])
+            rows_lang.append(rows_lang[-1])
+            row_owner.append(row_owner[-1])
+
         precentered = self.arch.encoder_type == "none"
         batch = np.stack(rows_audio)
         t_refs = [self.num_frames_for(s) for s in s_true]
-        sample_mask = jnp.asarray(
-            np.arange(bucket)[None, :]
-            < np.array([s_true[o] for o in row_owner])[:, None])
-        frame_mask = jnp.asarray(
-            np.arange(t_pad)[None, :]
-            < np.array([t_refs[o] for o in row_owner])[:, None])
+        sample_mask = (np.arange(bucket)[None, :]
+                       < np.array([s_true[o] for o in row_owner])[:, None])
+        frame_mask = (np.arange(t_pad)[None, :]
+                      < np.array([t_refs[o] for o in row_owner])[:, None])
         masked = self.arch.encoder_type != "whisper"
 
         logits, offsets = self._jit_forward(
-            jnp.asarray(batch), jnp.asarray(np.array(rows_lang, np.int32)),
-            sample_mask, frame_mask, masked, precentered, t_pad)
+            self._put(batch), self._put(np.array(rows_lang, np.int32)),
+            self._put(sample_mask), self._put(frame_mask),
+            masked, precentered, t_pad)
         logits = np.asarray(logits)
         offsets = np.asarray(offsets)
 
@@ -400,11 +436,18 @@ def process_segments(session: InferenceSession, segments: List[np.ndarray],
 _SESSION_CACHE: Dict[Tuple[str, str], InferenceSession] = {}
 
 
-def _get_session(config_path: str, checkpoint_path: str) -> InferenceSession:
+def _get_session(config_path: str, checkpoint_path: str,
+                 data_parallel: bool = False) -> InferenceSession:
     key = (os.path.abspath(config_path), os.path.abspath(checkpoint_path))
-    if key not in _SESSION_CACHE:
-        _SESSION_CACHE[key] = InferenceSession(config_path, checkpoint_path)
-    return _SESSION_CACHE[key]
+    session = _SESSION_CACHE.get(key)
+    if session is None or (data_parallel and session.mesh is None):
+        mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+            mesh = make_mesh()
+        _SESSION_CACHE[key] = session = InferenceSession(
+            config_path, checkpoint_path, mesh=mesh)
+    return session
 
 
 def infer_audio(audio_path: str, config_path: str = "config.yaml",
@@ -506,12 +549,20 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
                          output_dir: str = "outputs",
                          lang_id: Optional[int] = None,
                          confidence_threshold: float = 0.0,
-                         batch_files: int = 8) -> None:
+                         batch_files: int = 8,
+                         data_parallel: Optional[bool] = None) -> None:
     """Throughput folder mode (TPU addition): ≤30 s files are batched into
     shared bucketed forwards via per-row masks; outputs stay identical to
     per-file inference. Files >30 s fall back to the chunked path; cached
-    files skip the forward entirely."""
-    session = _get_session(config_path, checkpoint_path)
+    files skip the forward entirely.
+
+    ``data_parallel``: shard batch rows over all visible devices (params
+    replicated, rows on the mesh 'data' axis). Default: on when more than
+    one device is visible."""
+    if data_parallel is None:
+        data_parallel = len(jax.devices()) > 1
+    session = _get_session(config_path, checkpoint_path,
+                           data_parallel=data_parallel)
     os.makedirs(output_dir, exist_ok=True)
     median_size = session.cfg.median_filter
     lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
