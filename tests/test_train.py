@@ -101,6 +101,137 @@ def test_prodigy_matches_numpy_oracle():
     assert oracle.d > 1e-6  # d grew beyond d0
 
 
+class TorchProdigyOracle:
+    """Op-for-op torch transcription of the published prodigyopt
+    ``Prodigy.step()`` (the algorithm pytorch_optimizer's Prodigy ports;
+    the reference trains with it via config.yaml:39-43 + train.py:379-408).
+    Kept structurally parallel to the original: a first pass accumulating
+    the global numerator / EMAs / s and denom, an early return when the
+    denom is zero, the d/d_max update, then the in-place parameter pass
+    using the NEW d in the denominator eps but the OLD d_lr as step size.
+
+    This is an independent oracle from wfl_asr_tpu.train.prodigy (jax) and
+    from NumpyProdigy above — it is torch, in-place, and transcribed from
+    the upstream code shape rather than our docstring's equations, so a
+    shared misreading would surface as a mismatch."""
+
+    def __init__(self, params, lr=1.0, betas=(0.9, 0.999), beta3=None,
+                 eps=1e-8, weight_decay=0.0, decouple=True,
+                 use_bias_correction=False, safeguard_warmup=False,
+                 d0=1e-6, d_coef=1.0, growth_rate=float("inf")):
+        self.p = [torch.tensor(np.asarray(q), dtype=torch.float32)
+                  for q in params]
+        self.p0 = [q.clone() for q in self.p]
+        self.s = [torch.zeros_like(q) for q in self.p]
+        self.m = [torch.zeros_like(q) for q in self.p]
+        self.v = [torch.zeros_like(q) for q in self.p]
+        self.lr, (self.b1, self.b2) = lr, betas
+        self.b3 = beta3 if beta3 is not None else math.sqrt(betas[1])
+        self.eps, self.wd, self.decouple = eps, weight_decay, decouple
+        self.bias_correction = use_bias_correction
+        self.safeguard = safeguard_warmup
+        self.d = self.d0 = d0
+        self.d_max, self.d_coef, self.growth = d0, d_coef, growth_rate
+        self.k = 0
+        self.numerator = torch.tensor(0.0)
+
+    @torch.no_grad()
+    def step(self, grads):
+        grads = [torch.tensor(np.asarray(g), dtype=torch.float32)
+                 for g in grads]
+        if self.bias_correction:
+            bc = ((1.0 - self.b2 ** (self.k + 1)) ** 0.5) \
+                / (1.0 - self.b1 ** (self.k + 1))
+        else:
+            bc = 1.0
+        d_lr = self.d * self.lr * bc
+
+        self.numerator.mul_(self.b3)
+        d_denom = torch.tensor(0.0)
+        for i, g in enumerate(grads):
+            if self.wd != 0.0 and not self.decouple:
+                g = g.add(self.p[i], alpha=self.wd)
+            self.numerator.add_(
+                torch.dot(g.flatten(), (self.p0[i] - self.p[i]).flatten()),
+                alpha=(self.d / self.d0) * d_lr)
+            self.m[i].mul_(self.b1).add_(g, alpha=self.d * (1.0 - self.b1))
+            self.v[i].mul_(self.b2).addcmul_(
+                g, g, value=self.d * self.d * (1.0 - self.b2))
+            self.s[i].mul_(self.b3).add_(
+                g, alpha=(self.d / self.d0)
+                * (self.d if self.safeguard else d_lr))
+            d_denom.add_(self.s[i].abs().sum())
+
+        if float(d_denom) == 0.0:
+            return
+        d = self.d
+        if self.lr > 0.0:
+            d_hat = self.d_coef * float(self.numerator) / float(d_denom)
+            if d == self.d0:
+                d = max(d, d_hat)
+            self.d_max = max(self.d_max, d_hat)
+            d = min(self.d_max, d * self.growth)
+        self.d = d
+        self.k += 1
+
+        for i in range(len(self.p)):
+            denom = self.v[i].sqrt().add_(d * self.eps)
+            if self.wd != 0.0 and self.decouple:
+                self.p[i].add_(self.p[i], alpha=-self.wd * d_lr)
+            self.p[i].addcdiv_(self.m[i], denom, value=-d_lr)
+
+
+@pytest.mark.parametrize("hp", [
+    {},                                                    # reference default
+    # d0=1e-3 keeps p0−p well above f32 ulp noise so the ⟨g, p0−p⟩
+    # cancellation doesn't swamp the weight-decay comparison.
+    {"weight_decay": 0.1, "d0": 1e-3},
+    {"use_bias_correction": True},
+    {"safeguard_warmup": True},
+    {"betas": (0.8, 0.99), "beta3": 0.95, "d_coef": 0.5,
+     "growth_rate": 1.02},
+    {"learning_rate": 0.3, "d0": 1e-4, "eps": 1e-6},
+])
+def test_prodigy_matches_torch_prodigyopt_oracle(hp):
+    """Step-for-step d / d_max / numerator / param parity vs the torch
+    transcription of the real prodigyopt step(), on identical injected
+    grads, across shapes and hyperparameters (VERDICT r1 #6)."""
+    from wfl_asr_tpu.train.prodigy import prodigy
+
+    rng = np.random.RandomState(7)
+    shapes = [(6, 5), (5,), (3, 2, 4), ()]
+    host_params = [np.asarray(rng.randn(*s), np.float32) for s in shapes]
+
+    params = {f"p{i}": jnp.asarray(v) for i, v in enumerate(host_params)}
+    torch_hp = dict(hp)
+    if "learning_rate" in torch_hp:
+        torch_hp["lr"] = torch_hp.pop("learning_rate")
+    oracle = TorchProdigyOracle(host_params, **torch_hp)
+    tx = prodigy(**hp)
+    opt_state = tx.init(params)
+
+    for step in range(12):
+        host_grads = [np.asarray(rng.randn(*s) * 0.5, np.float32)
+                      for s in shapes]
+        grads = {f"p{i}": jnp.asarray(g) for i, g in enumerate(host_grads)}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        oracle.step(host_grads)
+
+        inner = opt_state.inner_state if hasattr(opt_state, "inner_state") \
+            else opt_state
+        st = inner if hasattr(inner, "d") else inner[0]
+        assert float(st.d) == pytest.approx(oracle.d, rel=2e-4), \
+            f"d mismatch at step {step}"
+        assert float(st.d_max) == pytest.approx(oracle.d_max, rel=2e-4)
+        assert float(st.d_numerator) == pytest.approx(
+            float(oracle.numerator), rel=2e-3, abs=1e-12)
+        for i in range(len(shapes)):
+            np.testing.assert_allclose(
+                np.asarray(params[f"p{i}"]), oracle.p[i].numpy(),
+                rtol=2e-4, atol=1e-6, err_msg=f"step {step} p{i}")
+
+
 def test_prodigy_converges_quadratic():
     """Parameter-free property: minimizes a quadratic from d0=1e-6 at lr=1."""
     from wfl_asr_tpu.train.prodigy import prodigy
@@ -343,3 +474,62 @@ def test_train_end_to_end(tmp_path):
     train(cfg_path)
     assert any(f.startswith("model_step8") for f in os.listdir(save_dir)) or \
         os.path.exists(os.path.join(save_dir, "last_model.pt"))
+
+
+def test_q10_restart_loader_on_validation(tmp_path, monkeypatch):
+    """training.restart_loader_on_validation reproduces quirk Q10: the
+    epoch iterator is rebuilt (reshuffled) after every validation, so each
+    epoch only ever covers its first val_check_interval batches. Off by
+    default: full epochs."""
+    import random as pyrandom
+
+    from tests.test_preprocess import make_config, make_fixture_dataset
+    from wfl_asr_tpu.data.dataset import BatchLoader
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(13)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=10)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({"encoder_type": "none", "enable_bilstm": False,
+                            "num_conformer_layers": 0,
+                            "enable_dilated_conv": False,
+                            "lang_emb_dim": 8})
+    config["training"].update({
+        "batch_size": 2, "optimizer": "Prodigy", "learning_rate": 1.0,
+        "scheduler": "ConstantLR", "max_steps": 6, "val_check_interval": 2,
+        "max_checkpoints": 2, "seed": 0, "data_parallel": False,
+    })
+    run_preprocess(data_dir, config)
+    cfg_path = os.path.join(save_dir, "config.yaml")
+
+    seen_epochs = []
+    orig = BatchLoader.epoch_batches
+
+    def recording(self, epoch=None):
+        if self.shuffle:  # train loader only (val loader doesn't shuffle)
+            seen_epochs.append(epoch)
+        return orig(self, epoch)
+
+    monkeypatch.setattr(BatchLoader, "epoch_batches", recording)
+
+    # default: 8 train files / batch 2 = 4 batches per epoch; 6 steps span
+    # epochs 0 (steps 1-4) and 1 (steps 5-6).
+    train(cfg_path)
+    assert seen_epochs == [0, 1]
+
+    # Q10 compat: iterator restarts after each of the 3 validations →
+    # three partial epochs, each covering only its first 2 batches.
+    import shutil
+    shutil.rmtree(save_dir)
+    run_preprocess(data_dir, config)
+    import yaml as _yaml
+    c = _yaml.safe_load(open(cfg_path))
+    c["training"]["restart_loader_on_validation"] = True
+    _yaml.dump(c, open(cfg_path, "w"), sort_keys=False)
+    seen_epochs.clear()
+    train(cfg_path)
+    assert seen_epochs == [0, 1, 2]

@@ -171,37 +171,46 @@ def visualize_audio_features(wav_path, y, sr, predicted_boundaries, flux,
                              delta_mag, flux_times, snapped_boundaries=None,
                              original_boundaries=None,
                              save_path: str = "features_plot.png") -> None:
-    """3-panel PNG (reference correct_label.py:107-138)."""
+    """Diagnostic PNG for a snap run (same role as the reference's
+    ``--save_plot`` output, correct_label.py:107-138, independently laid
+    out): one waveform panel carrying before/after boundaries on opposite
+    half-planes, and one detector panel with the fused novelty curve and
+    the candidate peaks each label snapped to."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axs = plt.subplots(3, 1, figsize=(14, 9), sharex=True)
-    t = np.linspace(0, len(y) / sr, len(y))
-    axs[0].set_title("Original Label")
-    axs[0].plot(t, y, color="lightblue")
-    axs[1].set_title("Spectral Flux + MFCC Delta")
-    axs[1].plot(flux_times, flux, label="Flux", color="purple")
-    axs[1].plot(flux_times, delta_mag, label="MFCC", color="orange")
-    axs[1].legend()
-    axs[2].set_title("Corrected Label Boundaries")
-    axs[2].plot(t, y, color="lightblue")
+    t = np.arange(len(y)) / sr
+    amp = float(np.max(np.abs(y))) or 1.0
+    fig, (ax_wave, ax_det) = plt.subplots(
+        2, 1, figsize=(12, 6), sharex=True,
+        gridspec_kw={"height_ratios": [2, 1]})
+    fig.suptitle(os.path.basename(wav_path))
 
+    ax_wave.plot(t, y, color="0.75", linewidth=0.5, zorder=1)
+    ax_wave.axhline(0.0, color="0.9", linewidth=0.5)
+    ax_wave.set_ylim(-1.15 * amp, 1.15 * amp)
+    ax_wave.set_ylabel("original ↑ / snapped ↓")
+    for segs, sign, color in ((original_boundaries or [], 1, "#c44"),
+                              (snapped_boundaries or [], -1, "#283")):
+        for start, end, label in segs:
+            ax_wave.vlines(end, 0, sign * amp, color=color, linewidth=0.9)
+            ax_wave.annotate(label, ((start + end) / 2, sign * amp * 1.05),
+                             ha="center", va="bottom" if sign > 0 else "top",
+                             fontsize=7, color=color)
+
+    if len(flux_times):
+        combined = 0.5 * np.asarray(flux) + 0.5 * np.asarray(delta_mag)
+        ax_det.fill_between(flux_times, combined, color="#9bc", alpha=0.6,
+                            label="novelty (flux+Δmfcc)/2")
+        ax_det.legend(loc="upper right", fontsize=8)
     for tb in predicted_boundaries:
-        axs[1].axvline(tb, color="magenta", linestyle="--", linewidth=1)
-    if original_boundaries:
-        for start, end, label in original_boundaries:
-            axs[0].axvline(end, color="red", linewidth=1)
-            axs[0].text((start + end) / 2, np.max(y) * 0.8, label,
-                        ha="center", fontsize=8, color="red")
-    if snapped_boundaries:
-        for start, end, label in snapped_boundaries:
-            axs[2].axvline(end, color="green", linewidth=1)
-            axs[2].text((start + end) / 2, np.max(y) * 0.8, label,
-                        ha="center", fontsize=8, color="green")
-    plt.tight_layout()
-    plt.savefig(save_path)
-    plt.close()
+        ax_det.axvline(tb, color="#555", linewidth=0.7, alpha=0.8)
+    ax_det.set_ylabel("candidates")
+    ax_det.set_xlabel("time (s)")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=110)
+    plt.close(fig)
 
 
 def process_file(wav_path: str, save_plot: bool = False) -> None:

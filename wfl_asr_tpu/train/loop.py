@@ -452,6 +452,8 @@ def train(config_path: str = "config.yaml",
         opt_state.hyperparams["learning_rate"] = jnp.asarray(
             base_lr * scheduler.factor, jnp.float32)
 
+    restart_loader = bool(cfg.raw.get("training", {}).get(
+        "restart_loader_on_validation", False))
     epoch = 0
     last_log = time.time()
     from ..utils.profiling import maybe_trace
@@ -552,6 +554,15 @@ def train(config_path: str = "config.yaml",
                 if writer is not None:
                     writer.add_scalar("train/learning_rate",
                                       base_lr * scheduler.factor, step)
+
+                if restart_loader:
+                    # Quirk Q10 compat: the reference rebuilds its
+                    # DataLoader iterator after every validation
+                    # (train.py:192,265-266,437-438), restarting +
+                    # reshuffling the epoch — with small
+                    # val_check_interval the epoch tail is never
+                    # visited. Off by default (docs/MIGRATION.md).
+                    break
 
             if step >= cfg.max_steps:
                 break
