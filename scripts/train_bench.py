@@ -20,6 +20,17 @@ S = int(SECONDS * 16000)
 T = int(SECONDS / 0.02)
 
 arch = graft._flagship_arch(tiny=False)
+# Mirror train/loop.py: on TPU training runs the differentiable Pallas flash
+# attention (incl. WavLM's gated-bias VJP). WFL_TRAIN_FLASH=0 forces XLA
+# attention for an A/B comparison.
+import dataclasses
+import os
+if (jax.devices()[0].platform == "tpu"
+        and os.environ.get("WFL_TRAIN_FLASH", "1") == "1"):
+    arch = dataclasses.replace(
+        arch, use_flash_attention=True,
+        wavlm=dataclasses.replace(arch.wavlm, use_flash_attention=True))
+    print("wavlm flash attention: ON", flush=True)
 params, state = init_tagger(jax.random.PRNGKey(0), arch)
 
 
@@ -33,7 +44,11 @@ params = jax.device_put(params)
 state = jax.device_put(state)
 opt_state = jax.device_put(opt_state)
 
-step = make_train_step(arch, 0.1, 3.0, tx)
+# WFL_TRAIN_DTYPE=bf16 mirrors the config's bf16 training option.
+dtype = (jnp.bfloat16 if os.environ.get("WFL_TRAIN_DTYPE") == "bf16"
+         else jnp.float32)
+step = make_train_step(arch, 0.1, 3.0, tx, compute_dtype=dtype)
+print(f"compute dtype: {dtype.__name__}", flush=True)
 rng = np.random.RandomState(0)
 batch = dict(
     audio=jnp.asarray((rng.randn(B, S) * 0.1).astype(np.float32)),

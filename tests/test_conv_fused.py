@@ -1,0 +1,90 @@
+"""Multi-layer fused conv-chain kernel vs the XLA conv+GELU chain
+(interpret mode on CPU), and its wiring into the WavLM feature encoder."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wfl_asr_tpu.models.layers import conv1d
+from wfl_asr_tpu.ops.pallas.conv_fused import fused_conv_chain
+
+
+def xla_chain(x, ws):
+    y = jnp.swapaxes(x, 1, 2)
+    for w in ws:
+        y = conv1d({"w": w}, y, stride=2, padding="VALID")
+        y = jax.nn.gelu(y, approximate=False)
+    return jnp.swapaxes(y, 1, 2)
+
+
+def make_chain(seed, c, ks):
+    rng = np.random.RandomState(seed)
+    return [jnp.asarray(rng.randn(c, c, k).astype(np.float32)
+                        * (0.5 / np.sqrt(c * k))) for k in ks]
+
+
+@pytest.mark.parametrize("ks,t,tile", [
+    ((3, 3, 3), 2100, 64),        # WavLM layers 1-3 shape-alike
+    ((3, 2, 2), 1500, 32),        # WavLM layers 4-6 shape-alike
+    ((3, 3, 3, 3, 2, 2), 4200, 16),   # full base tail in one kernel
+    ((2,), 300, 64),
+])
+def test_fused_chain_matches_xla(ks, t, tile):
+    rng = np.random.RandomState(sum(ks) + t)
+    b, c = 2, 64
+    x = jnp.asarray((rng.randn(b, t, c) * 0.4).astype(np.float32))
+    ws = make_chain(1, c, ks)
+    ref = xla_chain(x, ws)
+    out = fused_conv_chain(x, ws, tile_out=tile)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_chain_bf16():
+    rng = np.random.RandomState(3)
+    b, t, c = 1, 1100, 64
+    x = jnp.asarray((rng.randn(b, t, c) * 0.4).astype(np.float32))
+    ws = make_chain(4, c, (3, 3, 2))
+    ref = xla_chain(x.astype(jnp.bfloat16), ws)
+    out = fused_conv_chain(x.astype(jnp.bfloat16), ws, tile_out=32)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_feature_encoder_fused_flag_matches():
+    """use_fused_conv routes layers 1+ through the fused kernel with
+    numerics matching the XLA path (the flag inference sessions set on
+    TPU)."""
+    from wfl_asr_tpu.models.wavlm import (WavLMArch, init_wavlm,
+                                          feature_encoder, _fused_tail_start)
+    arch = WavLMArch(hidden_size=64, num_layers=1, num_heads=4,
+                     intermediate_size=128, conv_dim=(32, 32, 32, 32),
+                     conv_kernel=(10, 3, 3, 2), conv_stride=(5, 2, 2, 2),
+                     num_conv_pos_embeddings=16,
+                     num_conv_pos_embedding_groups=4,
+                     num_buckets=40, max_distance=100)
+    assert _fused_tail_start(arch) == 1
+    arch_fused = dataclasses.replace(arch, use_fused_conv=True)
+    params = init_wavlm(jax.random.PRNGKey(0), arch)
+    audio = jnp.asarray(np.random.RandomState(5)
+                        .randn(2, 6000).astype(np.float32) * 0.3)
+    ref = feature_encoder(params, arch, audio)
+    out = feature_encoder(params, arch_fused, audio)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_tail_start_gating():
+    from wfl_asr_tpu.models.wavlm import WavLMArch, _fused_tail_start
+    base = WavLMArch()
+    assert _fused_tail_start(base) == 1          # layers 1-6 fused
+    large = WavLMArch(conv_bias=True, feat_extract_norm="layer")
+    assert _fused_tail_start(large) == 7         # per-layer LN: all XLA

@@ -533,3 +533,26 @@ def test_q10_restart_loader_on_validation(tmp_path, monkeypatch):
     seen_epochs.clear()
     train(cfg_path)
     assert seen_epochs == [0, 1, 2]
+
+
+def test_empty_train_split_raises(tmp_path):
+    """num_val_files >= dataset size must raise (the reference's
+    random_split errors on a negative train count, train.py:319-321);
+    previously the step loop spun forever on the empty loader."""
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    import random as pyrandom
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(3)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=2)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 10       # > dataset size
+    config["model"]["encoder_type"] = "none"
+    config["training"].update({"batch_size": 2, "max_steps": 2,
+                               "val_check_interval": 1})
+    run_preprocess(data_dir, config)
+    with pytest.raises(ValueError, match="no training samples"):
+        train(os.path.join(save_dir, "config.yaml"))

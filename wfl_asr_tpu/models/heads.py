@@ -228,7 +228,11 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     q = split(linear(params["q"], x))
     k = split(linear(params["k"], x))
     v = split(linear(params["v"], x))
-    if use_flash:
+    # Same length/dtype policy as wavlm._attend: f32 (training) only above
+    # ~1k frames where the T² score traffic dominates; bf16 (inference)
+    # always. Static per trace.
+    from .wavlm import FLASH_MIN_T
+    if use_flash and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T):
         # differentiable Pallas kernel — used in training and inference
         from ..ops.pallas.flash_attention_bwd import flash_attention_trainable
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)

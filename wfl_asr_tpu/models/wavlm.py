@@ -40,6 +40,11 @@ from .layers import (attention_core, conv1d, dropout, gelu, group_norm,
                      init_conv1d, init_layer_norm, init_linear, layer_norm,
                      linear)
 
+# Sequence length above which the Pallas flash kernel beats XLA attention
+# (score-tensor traffic grows as T²; crossover measured on v5e between
+# T=500 and T=1500 — see docs/PERFORMANCE.md). Static per trace.
+FLASH_MIN_T = 1024
+
 
 @dataclass(frozen=True)
 class WavLMArch:
@@ -58,7 +63,8 @@ class WavLMArch:
     num_buckets: int = 320
     max_distance: int = 800
     do_stable_layer_norm: bool = False        # True for wavlm-large
-    use_flash_attention: bool = False         # Pallas fused attention (inference)
+    use_flash_attention: bool = False         # Pallas fused attention
+    use_fused_conv: bool = False              # Pallas fused conv chain (infer)
     layer_norm_eps: float = 1e-5
     hidden_dropout: float = 0.1
     activation_dropout: float = 0.0
@@ -191,7 +197,12 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
     x = audio[:, None, :]                                    # [B, 1, S]
     valid_len = (jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
                  if sample_mask is not None else None)       # [B]
-    for i, layer in enumerate(params["feature_encoder"]):
+    layers = params["feature_encoder"]
+    # Fused Pallas tail: the trailing run of C→C, k∈{2,3}, stride-2,
+    # norm-free layers (layers 1-6 for base) runs as ONE kernel, keeping
+    # every intermediate activation in VMEM instead of HBM round-trips.
+    split = _fused_tail_start(arch) if arch.use_fused_conv else len(layers)
+    for i, layer in enumerate(layers[:split]):
         # Measured on v5e: XLA's conv lowering beats per-tap strided matmuls
         # here (49 ms vs 97 ms for the stack at B=8) — strided slices cost
         # more than the conv's layout inefficiency.
@@ -212,7 +223,28 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
                 x = jnp.swapaxes(
                     layer_norm(layer["norm"], jnp.swapaxes(x, 1, 2)), 1, 2)
         x = gelu(x)
-    return jnp.swapaxes(x, 1, 2)                             # [B, T, C]
+    x = jnp.swapaxes(x, 1, 2)                                # [B, T, C]
+    if split < len(layers):
+        from ..ops.pallas.conv_fused import fused_conv_chain
+        ws = [layers[i]["conv"]["w"] for i in range(split, len(layers))]
+        x = fused_conv_chain(x, ws)
+    return x
+
+
+def _fused_tail_start(arch: WavLMArch) -> int:
+    """Index of the first conv layer of the trailing fused-eligible run
+    (C_in == C_out, k ∈ {2,3}, stride 2, no per-layer norm, no bias)."""
+    if arch.conv_bias or arch.feat_extract_norm == "layer":
+        return len(arch.conv_dim)
+    j = len(arch.conv_dim)
+    while j > 1:          # layer 0 always stays XLA (GroupNorm lives there)
+        i = j - 1
+        if (arch.conv_stride[i] == 2 and arch.conv_kernel[i] in (2, 3)
+                and arch.conv_dim[i] == arch.conv_dim[i - 1]):
+            j = i
+        else:
+            break
+    return j
 
 
 def _pos_conv_embed(params, arch: WavLMArch, x: jnp.ndarray) -> jnp.ndarray:
@@ -259,7 +291,14 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
     k = split(linear(layer["k"], x))
     v = split(linear(layer["v"], x))
 
-    if arch.use_flash_attention:
+    # In f32 (training) flash pays above ~1k frames, where XLA's [B,H,T,T]
+    # materialization dominates — at 30 s/T=1500 XLA attention cannot even
+    # fit the train step in HBM (OOM at B=4) — while below that XLA wins
+    # (measured: B=16×10 s train step 284 ms XLA vs 313 ms flash). bf16
+    # inference keeps flash at every length (1341→1959 RTFx at T=1499).
+    # t and dtype are static per trace: a compile-time branch.
+    if arch.use_flash_attention and (x.dtype == jnp.bfloat16
+                                     or t >= FLASH_MIN_T):
         from ..ops.pallas.flash_attention import flash_attention
         gate = _gate_values(layer, arch, x)
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)

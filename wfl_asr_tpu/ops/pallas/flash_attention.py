@@ -1,4 +1,5 @@
-"""Fused flash attention (Pallas/TPU) with additive bias and per-query gate.
+"""Fused flash attention (Pallas/TPU) with additive bias and per-query gate,
+differentiable end to end (dQ/dK/dV/dBias/dGate).
 
 Motivation (measured, scripts/ablate_encoder.py): XLA attention at WavLM
 shapes (T=1499) materializes [B,H,T,T] score/probability tensors in HBM —
@@ -14,8 +15,21 @@ kernel runs the online-softmax attention tile-by-tile in VMEM:
 - ``kv_len`` masks padded key positions (righthand bucket padding).
 - f32 accumulation for scores/softmax; bf16 everywhere else.
 
-Forward-only: training uses the XLA path (flash backward is future work);
-inference — where RTFx is measured — uses this kernel.
+Differentiation uses a ``jax.custom_vjp``: the forward-for-grad pass also
+writes the per-row logsumexp (FlashAttention-2 residual); the backward runs
+two Pallas kernels that recompute P = exp(S − L) tile-by-tile —
+
+- dK/dV over key blocks (grid (h, b, k)), re-applying the gated bias to the
+  recomputed scores;
+- dQ / dGate / dBias over query blocks (grid (h, q, b) with batch innermost):
+  dGate[b,h,q] = Σ_k bias·dS, and dBias[h,q,k] = Σ_b gate·dS accumulated
+  across the batch grid axis into a revisited output block, so the [H,T,T]
+  bias cotangent is produced without any [B,H,T,T] materialization. XLA then
+  backprops it through the bucket gather onto the rel-position embedding.
+
+This is what lets WavLM *training* (reference train.py:188-270 hot path,
+gated bias defined in model.py:72-81 via HF WavLM) run on the fused kernel
+instead of XLA attention.
 """
 
 from __future__ import annotations
@@ -36,13 +50,22 @@ DEFAULT_BLOCK_K = int(os.environ.get("WFL_FLASH_BK", "512"))
 NEG_INF = -1e30
 
 
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
-                  o_ref, *, block_k: int, sm_scale: float, t_pad: int,
-                  has_bias: bool, has_gate: bool):
+                  o_ref, *maybe_lse_ref, block_k: int, sm_scale: float,
+                  t_pad: int, has_bias: bool, has_gate: bool):
     # Blocks carry leading singleton (batch, head) dims:
     # q_ref: [1,1,BLOCK_Q,D]; k_ref/v_ref: [1,1,T_pad,D];
     # bias_ref: [1,BLOCK_Q,T_pad]; gate_ref: [1,1,BLOCK_Q,1];
-    # kvlen_ref: [1,1,1] (SMEM); o_ref: [1,1,BLOCK_Q,D]
+    # kvlen_ref: [1,1,1] (SMEM); o_ref: [1,1,BLOCK_Q,D];
+    # maybe_lse_ref: ([1,1,BLOCK_Q,1],) when the caller wants the logsumexp.
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
 
@@ -85,58 +108,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
 
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if maybe_lse_ref:
+        maybe_lse_ref[0][0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    bias: Optional[jnp.ndarray] = None,
-                    gate: Optional[jnp.ndarray] = None,
-                    kv_len: Optional[jnp.ndarray] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
-    """q, k, v: [B, H, T, D] → [B, H, T, D].
-
-    bias: [H, T, T] (shared over batch) or None; gate: [B, H, T] or None
-    (requires bias); kv_len: [B] valid key count (None = T).
-    """
+def _prep_inputs(q, k, v, bias, gate, kv_len, block_q, block_k):
+    """Pad time to a common multiple of both block sizes; densify optionals."""
     b, h, t, d = q.shape
-    if gate is not None and bias is None:
-        raise ValueError("gate requires bias")
     out_dtype = q.dtype
-
-    block_q = min(block_q, max(t, 8))
-    block_k = min(block_k, max(t, 128))
-    t_pad_q = -(-t // block_q) * block_q
-    t_pad_k = -(-t // block_k) * block_k
-    t_pad = max(t_pad_q, t_pad_k)
-    # one padded length for both q and k grids
+    t_pad = max(-(-t // block_q) * block_q, -(-t // block_k) * block_k)
     t_pad = -(-t_pad // block_q) * block_q
     t_pad = -(-t_pad // block_k) * block_k
 
     pad_t = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
-    qp = jnp.pad(q, pad_t)
-    kp = jnp.pad(k, pad_t)
-    vp = jnp.pad(v, pad_t)
+    qp, kp, vp = jnp.pad(q, pad_t), jnp.pad(k, pad_t), jnp.pad(v, pad_t)
 
-    has_bias = bias is not None
-    has_gate = gate is not None
-    if has_bias:
+    if bias is not None:
         # Store the bias at the activation dtype (bf16 halves its HBM
-        # traffic); the kernel accumulates scores in f32 regardless.
+        # traffic); the kernels accumulate scores in f32 regardless.
         bias_p = jnp.pad(bias.astype(out_dtype),
                          [(0, 0), (0, t_pad - t), (0, t_pad - t)])
     else:
-        bias_p = jnp.zeros((1, 1, 1), q.dtype)
-    if has_gate:
+        bias_p = jnp.zeros((1, 1, 1), out_dtype)
+    if gate is not None:
         gate_p = jnp.pad(gate, [(0, 0), (0, 0), (0, t_pad - t)])[..., None]
     else:
-        gate_p = jnp.zeros((1, 1, 1, 1), q.dtype)
+        gate_p = jnp.zeros((1, 1, 1, 1), out_dtype)
 
     if kv_len is None:
         kv_arr = jnp.full((b,), t, jnp.int32)
     else:
         kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
-    kv_arr = kv_arr.reshape(b, 1, 1)
+    return qp, kp, vp, bias_p, gate_p, kv_arr.reshape(b, 1, 1), t_pad
+
+
+def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
+    b, h, t, d = q.shape
+    has_bias, has_gate = bias is not None, gate is not None
+    out_dtype = q.dtype
+    qp, kp, vp, bias_p, gate_p, kv_arr, t_pad = _prep_inputs(
+        q, k, v, bias, gate, kv_len, block_q, block_k)
 
     # Grid order (h, q, b): batch innermost so the (head, q-tile) bias block
     # stays VMEM-resident across batch iterations — bias HBM traffic is
@@ -147,7 +158,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         _flash_kernel, block_k=block_k, sm_scale=1.0 / np.sqrt(d),
         t_pad=t_pad, has_bias=has_bias, has_gate=has_gate)
 
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, 1, block_q, d),
+                             lambda hi, qi, bi: (bi, hi, qi, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, h, t_pad, d), out_dtype)
+    if want_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, block_q, 1),
+                                  lambda hi, qi, bi: (bi, hi, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, h, t_pad, 1), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -171,11 +194,339 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda hi, qi, bi: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         # interpret mode on non-TPU backends (tests on the CPU platform)
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=_interpret(),
     )(qp, kp, vp, bias_p, gate_p, kv_arr)
-    return out[:, :, :t, :]
+
+    if want_lse:
+        out, lse = res
+        return out[:, :, :t, :], lse
+    return res[:, :, :t, :], None
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
+                     lse_ref, delta_ref, kvlen_ref, dk_ref, dv_ref, *,
+                     block_q: int, sm_scale: float, t_pad: int,
+                     has_bias: bool, has_gate: bool):
+    # grid (h, b, k). q/do: [1,1,T_pad,D]; k/v: [1,1,BLOCK_K,D];
+    # bias: [1,T_pad,BLOCK_K]; gate: [1,1,T_pad,1]; lse/delta: [1,1,T_pad,1].
+    block_k, d = k_ref.shape[2], k_ref.shape[3]
+    kv_len = kvlen_ref[0, 0, 0]
+    kb_start = pl.program_id(2) * block_k
+
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    k_idx = kb_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    k_valid = (k_idx < kv_len).astype(jnp.float32)            # [1, BK]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_start = pl.multiple_of(i * block_q, block_q)
+        q_blk = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]       # [BQ, 1]
+        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]
+
+        s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            b_blk = bias_ref[0, pl.ds(q_start, block_q), :] \
+                .astype(jnp.float32)                          # [BQ, BK]
+            if has_gate:
+                g = gate_ref[0, 0, pl.ds(q_start, block_q), :] \
+                    .astype(jnp.float32)                      # [BQ, 1]
+                s = s + g * b_blk
+            else:
+                s = s + b_blk
+        p = jnp.exp(s - lse) * k_valid                        # [BQ, BK]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale                      # [BQ, BK]
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, t_pad // block_q, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
+                   lse_ref, delta_ref, kvlen_ref,
+                   dq_ref, dgate_ref, dbias_ref, *,
+                   block_k: int, sm_scale: float, t_pad: int,
+                   has_bias: bool, has_gate: bool):
+    # grid (h, q, b), batch innermost. q/do/dq: [1,1,BLOCK_Q,D];
+    # k/v: [1,1,T_pad,D]; bias/dbias: [1,BLOCK_Q,T_pad] (dbias revisited —
+    # accumulated across the b axis); gate/dgate: [1,1,BLOCK_Q,1].
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    kv_len = kvlen_ref[0, 0, 0]
+    bi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)
+    do_blk = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]       # [BLOCK_Q, 1]
+    delta = delta_ref[0, 0]
+    if has_gate:
+        gate = gate_ref[0, 0].astype(jnp.float32)             # [BQ, 1]
+
+    def body(i, carry):
+        dq_acc, dgate_acc = carry
+        k_start = pl.multiple_of(i * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * sm_scale, k_blk,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            b_blk = bias_ref[0, :, pl.ds(k_start, block_k)] \
+                .astype(jnp.float32)                          # [BQ, BK]
+            s = s + (gate * b_blk if has_gate else b_blk)
+        k_idx = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        p = jnp.exp(s - lse) * (k_idx < kv_len).astype(jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds_raw = p * (dp - delta)                             # dS (unscaled)
+        dq_acc = dq_acc + jax.lax.dot_general(
+            ds_raw * sm_scale, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_bias:
+            # dBias[h,q,k] = Σ_b gate·dS: accumulate into the revisited
+            # output block (batch is the innermost grid axis, so revisits
+            # are consecutive and the block stays VMEM-resident).
+            contrib = gate * ds_raw if has_gate else ds_raw
+            prev = dbias_ref[0, :, pl.ds(k_start, block_k)]
+            dbias_ref[0, :, pl.ds(k_start, block_k)] = (
+                contrib + jnp.where(bi == 0, 0.0, prev))
+            if has_gate:
+                dgate_acc = dgate_acc + jnp.sum(
+                    b_blk * ds_raw, axis=1, keepdims=True)    # [BQ, 1]
+        return dq_acc, dgate_acc
+
+    dq0 = jnp.zeros((block_q, d), jnp.float32)
+    dg0 = jnp.zeros((block_q, 1), jnp.float32)
+    dq, dgate = jax.lax.fori_loop(0, t_pad // block_k, body, (dq0, dg0))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    if has_gate:
+        dgate_ref[0, 0] = dgate.astype(dgate_ref.dtype)
+
+
+def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
+    b, h, t, d = q.shape
+    has_bias, has_gate = bias is not None, gate is not None
+    qp, kp, vp, bias_p, gate_p, kv_arr, t_pad = _prep_inputs(
+        q, k, v, bias, gate, kv_len, block_q, block_k)
+    pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    do = jnp.pad(g, pad)
+    op = jnp.pad(out, pad)
+    # delta = rowsum(dO · O), kept 4-D [B,H,T,1] for TPU block tiling.
+    delta = jnp.sum(do.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    sm_scale = 1.0 / np.sqrt(d)
+
+    def bias_spec_kblocked():
+        if has_bias:
+            return pl.BlockSpec((1, t_pad, block_k),
+                                lambda hi, bi, ki: (hi, 0, ki),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def gate_spec_full():
+        if has_gate:
+            return pl.BlockSpec((1, 1, t_pad, 1),
+                                lambda hi, bi, ki: (bi, hi, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, 1, 1), lambda hi, bi, ki: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, block_q=block_q,
+                          sm_scale=sm_scale, t_pad=t_pad,
+                          has_bias=has_bias, has_gate=has_gate),
+        grid=(h, b, t_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec_kblocked(),
+            gate_spec_full(),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype)),
+        interpret=_interpret(),
+    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr)
+
+    def bias_spec_qblocked():
+        if has_bias:
+            return pl.BlockSpec((1, block_q, t_pad),
+                                lambda hi, qi, bi: (hi, qi, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def gate_spec_qblocked():
+        if has_gate:
+            return pl.BlockSpec((1, 1, block_q, 1),
+                                lambda hi, qi, bi: (bi, hi, qi, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, 1, 1), lambda hi, qi, bi: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dbias_shape = (h, t_pad, t_pad) if has_bias else (1, 1, 1)
+    dbias_spec = (pl.BlockSpec((1, block_q, t_pad),
+                               lambda hi, qi, bi: (hi, qi, 0),
+                               memory_space=pltpu.VMEM) if has_bias
+                  else pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+    dgate_shape = (b, h, t_pad, 1) if has_gate else (1, 1, 1, 1)
+    dgate_spec = (pl.BlockSpec((1, 1, block_q, 1),
+                               lambda hi, qi, bi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM) if has_gate
+                  else pl.BlockSpec((1, 1, 1, 1),
+                                    lambda hi, qi, bi: (0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+
+    dq, dgate, dbias = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k,
+                          sm_scale=sm_scale, t_pad=t_pad,
+                          has_bias=has_bias, has_gate=has_gate),
+        grid=(h, t_pad // block_q, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec_qblocked(),
+            gate_spec_qblocked(),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            dgate_spec,
+            dbias_spec,
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct(dgate_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(dbias_shape, jnp.float32)),
+        interpret=_interpret(),
+    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr)
+
+    dq = dq[:, :, :t]
+    dk = dk[:, :, :t]
+    dv = dv[:, :, :t]
+    dbias_out = (dbias[:, :t, :t].astype(bias.dtype) if has_bias else None)
+    dgate_out = (dgate[:, :, :t, 0].astype(gate.dtype) if has_gate else None)
+    return dq, dk, dv, dbias_out, dgate_out
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k):
+    out, _ = _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k,
+                       want_lse=False)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, bias, gate, kv_len, block_q, block_k):
+    out, lse = _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k,
+                         want_lse=True)
+    return out, (q, k, v, bias, gate, kv_len, out, lse)
+
+
+def _flash_vjp_bwd(block_q, block_k, residuals, g):
+    q, k, v, bias, gate, kv_len, out, lse = residuals
+    dq, dk, dv, dbias, dgate = _bwd_impl(
+        q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k)
+    return dq, dk, dv, dbias, dgate, None
+
+
+_flash_core.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None,
+                    gate: Optional[jnp.ndarray] = None,
+                    kv_len: Optional[jnp.ndarray] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    """q, k, v: [B, H, T, D] → [B, H, T, D]. Differentiable.
+
+    bias: [H, T, T] (shared over batch) or None; gate: [B, H, T] or None
+    (requires bias); kv_len: [B] valid key count (None = T).
+    """
+    t = q.shape[2]
+    if gate is not None and bias is None:
+        raise ValueError("gate requires bias")
+    if q.shape[-1] >= 256:
+        # Wide heads: the bwd kernels keep full-T streams in VMEM; shrink
+        # blocks to stay inside the ~16 MB budget (see flash_attention_bwd).
+        block_q = min(block_q, 128)
+        block_k = min(block_k, 128)
+    if bias is not None and q.dtype == jnp.float32:
+        # f32 training: the [T, BLOCK_K] bias tile in the dK/dV kernel is
+        # double-buffered at 4 B/elem; 512-wide blocks overflow VMEM by
+        # ~50 KB at T=1536 (measured). 256 keeps headroom.
+        block_q = min(block_q, 256)
+        block_k = min(block_k, 256)
+    # Clamp blocks for short sequences while honoring Mosaic tiling: the
+    # q-block is a sublane dim (multiple of 8), the k-block a lane dim
+    # (multiple of 128), and one must divide the other so a single padded
+    # length serves both grids.
+    def _ru(x, m):
+        return -(-x // m) * m
+
+    block_q = min(block_q, _ru(t, 8))
+    block_k = min(block_k, _ru(t, 128))
+    if block_k >= block_q:
+        block_k = _ru(block_k, block_q)
+    else:
+        block_q = _ru(block_q, block_k)
+    t_pad = _ru(t, max(block_q, block_k))
+    if block_k % 128 != 0 and block_k != t_pad:
+        block_k = t_pad  # single k-block: lane dim equals the array dim
+    return _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k)

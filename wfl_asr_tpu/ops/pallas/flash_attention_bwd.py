@@ -199,10 +199,25 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
     return out[:, :, :t], lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention_trainable(q, k, v, kv_len=None,
                               block_q: int = 256, block_k: int = 512):
-    """Differentiable fused attention (no bias). q/k/v: [B,H,T,D]."""
+    """Differentiable fused attention (no bias). q/k/v: [B,H,T,D].
+
+    Blocks shrink automatically for wide heads: the backward kernels keep
+    full-T q/dO (dK/dV pass) and k/v (dQ pass) streams in VMEM, so at
+    D ≥ 256 (Conformer heads over a 768-wide trunk) the default 256/512
+    blocks exceed the ~16 MB VMEM budget (measured: scoped-vmem OOM at
+    [8,2,1536,384] f32).
+    """
+    d = q.shape[-1]
+    if d >= 256:
+        block_q = min(block_q, 128)
+        block_k = min(block_k, 128)
+    return _flash_trainable_core(q, k, v, kv_len, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_trainable_core(q, k, v, kv_len, block_q, block_k):
     out, _ = _fwd_impl(q, k, v, kv_len, block_q, block_k)
     return out
 
@@ -290,4 +305,4 @@ def _vjp_bwd(block_q, block_k, residuals, g):
     return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], None
 
 
-flash_attention_trainable.defvjp(_vjp_fwd, _vjp_bwd)
+_flash_trainable_core.defvjp(_vjp_fwd, _vjp_bwd)

@@ -324,6 +324,13 @@ def train(config_path: str = "config.yaml",
 
     train_idx, val_idx = split_dataset(len(dataset), cfg.num_val_files,
                                        cfg.seed)
+    if not train_idx:
+        # The reference's random_split raises on a negative train count
+        # (train.py:319-321); without this check the step loop would spin
+        # forever on an empty loader.
+        raise ValueError(
+            f"num_val_files={cfg.num_val_files} leaves no training samples "
+            f"(dataset has {len(dataset)})")
     train_loader = BatchLoader(dataset, train_idx, cfg.batch_size,
                                seed=cfg.seed, shuffle=True,
                                frame_duration=cfg.frame_duration)
@@ -333,15 +340,19 @@ def train(config_path: str = "config.yaml",
 
     arch = TaggerArch.from_config(cfg, len(label_list))
     if jax.devices()[0].platform == "tpu":
-        # Differentiable Pallas flash attention for the Whisper encoder and
-        # Conformer blocks (measured: whisper-base train step 178 ms vs
-        # 191 ms XLA at B=8×30 s). WavLM trains with XLA attention — its
-        # gated relative-bias gradient isn't in the kernel yet.
+        # Differentiable Pallas flash attention for every encoder flavor
+        # (measured: whisper-base train step 178 ms vs 191 ms XLA at
+        # B=8×30 s). The WavLM kernel carries the gated relative-bias
+        # gradients (dBias/dGate) through its custom VJP, so the flagship
+        # encoder trains without materializing [B,H,T,T] score tensors.
         import dataclasses
         arch = dataclasses.replace(arch, use_flash_attention=True)
         if arch.whisper is not None:
             arch = dataclasses.replace(arch, whisper=dataclasses.replace(
                 arch.whisper, use_flash_attention=True))
+        if arch.wavlm is not None:
+            arch = dataclasses.replace(arch, wavlm=dataclasses.replace(
+                arch.wavlm, use_flash_attention=True))
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng, ft_rng = jax.random.split(rng, 3)
     params, model_state = init_tagger(init_rng, arch)
@@ -460,7 +471,9 @@ def train(config_path: str = "config.yaml",
     profile_ctx = maybe_trace("train")
     profile_ctx.__enter__()
     while step < cfg.max_steps:
+        epoch_ran = False
         for batch in train_loader.epoch_batches(epoch):
+            epoch_ran = True
             set_lr()
             lr_used = base_lr * scheduler.factor
             rng, step_rng = jax.random.split(rng)
@@ -566,6 +579,11 @@ def train(config_path: str = "config.yaml",
 
             if step >= cfg.max_steps:
                 break
+        if not epoch_ran:
+            raise ValueError(
+                f"training epoch produced no batches ({len(train_idx)} "
+                f"train samples, batch_size {cfg.batch_size}, "
+                f"drop_last={train_loader.drop_last})")
         epoch += 1
 
     profile_ctx.__exit__(None, None, None)
