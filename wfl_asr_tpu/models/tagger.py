@@ -38,9 +38,12 @@ from .whisper import (WhisperArch, init_whisper_encoder, whisper_arch_from_name,
 WAVLM_PRESETS = {
     "base": WavLMArch(),
     "base-plus": WavLMArch(),
+    # wavlm-large follows the wav2vec2-large conv recipe: per-layer
+    # LayerNorm AND biased convs (microsoft/wavlm-large config.json sets
+    # conv_bias: true, unlike the WavLMConfig default).
     "large": WavLMArch(hidden_size=1024, num_layers=24, num_heads=16,
                        intermediate_size=4096, feat_extract_norm="layer",
-                       do_stable_layer_norm=True),
+                       do_stable_layer_norm=True, conv_bias=True),
 }
 
 

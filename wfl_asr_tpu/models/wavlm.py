@@ -37,8 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .layers import (attention_core, conv1d, dropout, gelu, group_norm,
-                     init_conv1d, init_layer_norm, init_linear, layer_norm,
-                     linear)
+                     group_norm_channels_last, init_conv1d, init_layer_norm,
+                     init_linear, layer_norm, linear)
 
 # Sequence length above which the Pallas flash kernel beats XLA attention
 # (score-tensor traffic grows as T²; crossover measured on v5e between
@@ -194,14 +194,43 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
     exact-length run (the VALID convs themselves never mix padded samples
     into valid frames).
     """
-    x = audio[:, None, :]                                    # [B, 1, S]
     valid_len = (jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
                  if sample_mask is not None else None)       # [B]
     layers = params["feature_encoder"]
     # Fused Pallas tail: the trailing run of C→C, k∈{2,3}, stride-2,
-    # norm-free layers (layers 1-6 for base) runs as ONE kernel, keeping
-    # every intermediate activation in VMEM instead of HBM round-trips.
+    # norm-free layers (layers 1-6 for base) runs as chained kernels,
+    # keeping intermediate activations in VMEM instead of HBM round-trips.
     split = _fused_tail_start(arch) if arch.use_fused_conv else len(layers)
+    if split == 1 and split < len(layers) \
+            and arch.conv_kernel[0] <= 2 * arch.conv_stride[0] \
+            and arch.feat_extract_norm == "group":
+        # Channels-last fast path: layer 0 (C_in=1) as a windowed matmul
+        # emitting [B, T, C] directly (no NCH conv lowering, no 3 GB
+        # [B,C,T]→[B,T,C] relayout); GroupNorm *stats* as a fused XLA
+        # reduction, with the normalization + GELU applied inside the
+        # first Pallas chain's streaming pass.
+        x = _conv0_windowed(layers[0], arch, audio)          # [B, T0, C]
+        time_mask = None
+        if valid_len is not None:
+            valid_len = (valid_len - arch.conv_kernel[0]) \
+                // arch.conv_stride[0] + 1
+            time_mask = jnp.arange(x.shape[1])[None, :] < valid_len[:, None]
+        xf = x.astype(jnp.float32)
+        if time_mask is None:
+            mean = jnp.mean(xf, axis=1)                      # [B, C]
+            var = jnp.var(xf, axis=1)
+        else:
+            m = time_mask.astype(jnp.float32)[:, :, None]
+            count = jnp.maximum(jnp.sum(m, axis=1), 1.0)     # [B, 1]
+            mean = jnp.sum(xf * m, axis=1) / count
+            var = jnp.sum(jnp.square(xf - mean[:, None, :]) * m,
+                          axis=1) / count
+        inv = jax.lax.rsqrt(var + 1e-5)
+        norm = (mean, inv, layers[0]["norm"]["scale"],
+                layers[0]["norm"]["bias"])
+        return _fused_tail(params, arch, x, split, input_norm=norm)
+
+    x = audio[:, None, :]                                    # [B, 1, S]
     for i, layer in enumerate(layers[:split]):
         # Measured on v5e: XLA's conv lowering beats per-tap strided matmuls
         # here (49 ms vs 97 ms for the stack at B=8) — strided slices cost
@@ -224,10 +253,49 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
                     layer_norm(layer["norm"], jnp.swapaxes(x, 1, 2)), 1, 2)
         x = gelu(x)
     x = jnp.swapaxes(x, 1, 2)                                # [B, T, C]
+    return _fused_tail(params, arch, x, split)
+
+
+def _conv0_windowed(layer, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
+    """Layer-0 VALID conv (C_in=1, k ≤ 2·stride) as a windowed matmul:
+    view the signal as [S/s, s] row-groups; each output frame is two
+    consecutive groups flattened (first k taps) contracted with the kernel.
+    Emits channels-last [B, T, C] with no im2col and no layout transpose."""
+    k0, s0 = arch.conv_kernel[0], arch.conv_stride[0]
+    b, s = audio.shape
+    t0 = (s - k0) // s0 + 1
+    v = audio[:, : (s // s0) * s0].reshape(b, s // s0, s0)
+    if k0 > s0:
+        win = jnp.concatenate([v[:, :-1], v[:, 1:]], axis=-1)[:, :t0, :k0]
+    else:
+        win = v[:, :t0, :k0]
+    w = layer["conv"]["w"].astype(audio.dtype)               # [C, 1, k]
+    y = jax.lax.dot_general(win, w[:, 0, :],
+                            (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(audio.dtype)            # [B, T0, C]
+    if "b" in layer["conv"]:
+        y = y + layer["conv"]["b"].astype(y.dtype)[None, None, :]
+    return y
+
+
+def _fused_tail(params, arch: WavLMArch, x: jnp.ndarray, split: int,
+                input_norm=None) -> jnp.ndarray:
+    """Run conv layers [split:] as fused Pallas chains on [B, T, C].
+    ``input_norm`` (layer-0 GroupNorm stats) is applied inside the first
+    chain's streaming pass."""
+    layers = params["feature_encoder"]
     if split < len(layers):
-        from ..ops.pallas.conv_fused import fused_conv_chain
-        ws = [layers[i]["conv"]["w"] for i in range(split, len(layers))]
-        x = fused_conv_chain(x, ws)
+        from ..ops.pallas.conv_fused import MAX_CHAIN, fused_conv_chain
+        # Chains of ≤3 layers per kernel: all six at once needs either
+        # 16k-row input blocks (tile·2⁶) or an 8 MB weight set resident
+        # alongside them — both blow the ~16 MB VMEM. Two chains cost one
+        # HBM round-trip of the mid-stack activation (~0.5 ms at B=16×30 s).
+        for g in range(split, len(layers), MAX_CHAIN):
+            ws = [layer["conv"]["w"]
+                  for layer in layers[g: g + MAX_CHAIN]]
+            x = fused_conv_chain(x, ws, input_norm=input_norm)
+            input_norm = None
     return x
 
 

@@ -33,17 +33,35 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 HALO_ROWS = 128
-DEFAULT_TILE = 256
+# 128 output rows × 2³ stride = 1024-row input blocks: with three k=3
+# layers' weights (4.5 MB bf16) plus double-buffered streams and the f32
+# accumulators of the widest layer, this stays inside the ~16 MB VMEM.
+DEFAULT_TILE = int(os.environ.get("WFL_CONV_TILE", "128"))
+MAX_CHAIN = int(os.environ.get("WFL_CONV_CHAIN", "3"))
+
+
+def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz & Stegun 7.1.26 rational approximation, |err| ≤ 1.5e-7
+    (below f32 resolution of the surrounding bf16 activations). Mosaic has
+    no erf lowering (verified: 'Unimplemented primitive … erf'), and exp
+    does lower; used in interpret mode too so CPU tests match TPU."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * e
 
 
 def _gelu_f32(x: jnp.ndarray) -> jnp.ndarray:
-    # jax.lax.erf lowers on both Mosaic and interpret mode; exact GELU keeps
-    # numeric parity with the XLA path.
-    return 0.5 * x * (1.0 + jax.lax.erf(x * (1.0 / jnp.sqrt(2.0).astype(x.dtype))))
+    return 0.5 * x * (1.0 + _erf_f32(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
 def _in_rows_needed(t_out: int, k: int) -> int:
@@ -52,10 +70,19 @@ def _in_rows_needed(t_out: int, k: int) -> int:
     return 2 * t_out + (2 if k == 3 else 0)
 
 
-def _kernel(x_ref, halo_ref, *rest, ks: Sequence[int],
-            t_outs: Sequence[int], c: int):
+def _kernel(x_ref, halo_ref, mean_ref, inv_ref, scale_ref, bias_ref,
+            *rest, ks: Sequence[int], t_outs: Sequence[int], c: int,
+            has_norm: bool):
     w_refs, out_ref = rest[:-1], rest[-1]
     cur = jnp.concatenate([x_ref[0], halo_ref[0]], axis=0)   # [main+128, C]
+    if has_norm:
+        # Fused per-(batch,channel) GroupNorm application + GELU on the
+        # input tile: the stats are a cheap XLA reduction, but applying
+        # them as a separate pass costs a full read+write of the [B,T,C]
+        # activation (~7.5 ms at B=16×30 s). Halo rows are renormalized
+        # when they reappear as the next tile's main rows — stateless.
+        xf = (cur.astype(jnp.float32) - mean_ref[0]) * inv_ref[0]
+        cur = _gelu_f32(xf * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
     wi = 0
     for k, t_o in zip(ks, t_outs):
         if k == 3:
@@ -83,12 +110,18 @@ def _kernel(x_ref, halo_ref, *rest, ks: Sequence[int],
 
 @functools.partial(jax.jit, static_argnames=("tile_out",))
 def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
-                     tile_out: int = DEFAULT_TILE) -> jnp.ndarray:
+                     tile_out: int = DEFAULT_TILE,
+                     input_norm=None) -> jnp.ndarray:
     """Fused chain of stride-2 VALID Conv1d(+GELU) layers.
 
     x: [B, T, C] channels-last; weights: per layer [C, C, k] (torch
     ``OIH`` layout), k ∈ {2, 3}, no bias. Returns [B, T_chain, C] where
     T_chain is the exact composed conv output length.
+
+    input_norm: optional (mean [B,C], inv [B,C], scale [C], bias [C]) —
+    applies per-(batch,channel) normalization + GELU to the *input* inside
+    the kernel (the WavLM layer-0 GroupNorm application fused into the
+    first chain's streaming pass).
     """
     b, t_in, c = x.shape
     ks = [int(w.shape[2]) for w in weights]
@@ -150,8 +183,30 @@ def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
             w_specs.append(pl.BlockSpec((c, c), lambda bi, ti: (0, 0),
                                         memory_space=pltpu.VMEM))
 
+    # Norm vectors as [*, 1, C] so blocks are (1, 1, c): the sublane dim
+    # equals the array dim (Mosaic tiling rule for short dims).
+    has_norm = input_norm is not None
+    if has_norm:
+        mean, inv, scale, bias = input_norm
+        norm_args = [jnp.asarray(mean, jnp.float32).reshape(b, 1, c),
+                     jnp.asarray(inv, jnp.float32).reshape(b, 1, c),
+                     jnp.asarray(scale, jnp.float32).reshape(1, 1, c),
+                     jnp.asarray(bias, jnp.float32).reshape(1, 1, c)]
+    else:
+        norm_args = [jnp.zeros((1, 1, 1), jnp.float32)] * 4
+    shp = (1, 1, c) if has_norm else (1, 1, 1)
+    per_b = (lambda bi, ti: (bi, 0, 0)) if has_norm \
+        else (lambda bi, ti: (0, 0, 0))
+    shared = lambda bi, ti: (0, 0, 0)
+    norm_specs = [
+        pl.BlockSpec(shp, per_b, memory_space=pltpu.VMEM),   # mean [B,1,C]
+        pl.BlockSpec(shp, per_b, memory_space=pltpu.VMEM),   # inv [B,1,C]
+        pl.BlockSpec(shp, shared, memory_space=pltpu.VMEM),  # scale [1,1,C]
+        pl.BlockSpec(shp, shared, memory_space=pltpu.VMEM),  # bias [1,1,C]
+    ]
+
     kernel = functools.partial(_kernel, ks=tuple(ks), t_outs=tuple(t_outs),
-                               c=c)
+                               c=c, has_norm=has_norm)
 
     out = pl.pallas_call(
         kernel,
@@ -161,11 +216,12 @@ def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, halo_rows, c), halo_index,
                          memory_space=pltpu.VMEM),
+            *norm_specs,
             *w_specs,
         ],
         out_specs=pl.BlockSpec((1, tile_out, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_out, c), x.dtype),
         interpret=jax.devices()[0].platform != "tpu",
-    )(x, x, *w_args)
+    )(x, x, *norm_args, *w_args)
     return out[:, :t_true]
