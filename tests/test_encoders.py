@@ -121,3 +121,17 @@ def test_whisper_arch_from_name():
     assert whisper_arch_from_name("openai/whisper-small").d_model == 768
     assert whisper_arch_from_name("whisper-large-v3").d_model == 1280
     assert whisper_arch_from_name("openai/whisper-tiny.en").num_layers == 4
+
+
+def test_wavlm_large_preset_matches_upstream_config():
+    """wavlm-large follows the wav2vec2-large conv recipe: per-layer
+    LayerNorm, stable LN, and *biased* convs (microsoft/wavlm-large
+    config.json: conv_bias true — unlike the WavLMConfig default)."""
+    from wfl_asr_tpu.models.tagger import WAVLM_PRESETS, wavlm_arch_from_name
+    large = WAVLM_PRESETS["large"]
+    assert large.conv_bias is True
+    assert large.feat_extract_norm == "layer"
+    assert large.do_stable_layer_norm is True
+    assert wavlm_arch_from_name("microsoft/wavlm-large") is large
+    base = WAVLM_PRESETS["base"]
+    assert base.conv_bias is False and base.feat_extract_norm == "group"

@@ -45,8 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-DEFAULT_BLOCK_Q = int(os.environ.get("WFL_FLASH_BQ", "256"))
-DEFAULT_BLOCK_K = int(os.environ.get("WFL_FLASH_BK", "512"))
+# Serving-path sweep at WavLM-base B=8×30 s (T=1499), docs/PERFORMANCE.md:
+# full-row k blocks (single-pass softmax, no online rescans) + 768-row q
+# tiles: 2888 → 3059 RTFx. Values are upper bounds; the wrapper shrinks
+# them to divisor-aligned blocks per shape.
+DEFAULT_BLOCK_Q = int(os.environ.get("WFL_FLASH_BQ", "768"))
+DEFAULT_BLOCK_K = int(os.environ.get("WFL_FLASH_BK", "1536"))
 NEG_INF = -1e30
 
 
@@ -325,11 +329,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
 
 
 def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
+    # ``lse`` arrives at length t (sliced by the caller) and is re-padded
+    # here: zero-padding is inert because padded rows have q=0/gate=0 →
+    # s=0 → p=exp(0-0)=1, multiplied by dO=0 everywhere.
     b, h, t, d = q.shape
     has_bias, has_gate = bias is not None, gate is not None
     qp, kp, vp, bias_p, gate_p, kv_arr, t_pad = _prep_inputs(
         q, k, v, bias, gate, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    lse = jnp.pad(lse, pad)
     do = jnp.pad(g, pad)
     op = jnp.pad(out, pad)
     # delta = rowsum(dO · O), kept 4-D [B,H,T,1] for TPU block tiling.
@@ -479,8 +487,26 @@ def _flash_vjp_fwd(q, k, v, bias, gate, kv_len, block_q, block_k):
 
 def _flash_vjp_bwd(block_q, block_k, residuals, g):
     q, k, v, bias, gate, kv_len, out, lse = residuals
+    t = q.shape[2]
+    # The backward kernels keep more live state than the forward (bias
+    # tiles in BOTH orientations plus the f32 dBias accumulator), so the
+    # serving-optimal forward tiles (768×full-row) overflow VMEM here
+    # (measured 18.75 MB at bf16 B=8×30 s). Pick smaller, divisor-aligned
+    # bwd blocks; the saved lse is re-padded to the bwd padding.
+    if bias is not None:
+        t_pad = -(-t // 128) * 128
+
+        def _divisor(bound, granule):
+            dd = min(bound, t_pad) // granule * granule
+            while dd > granule and t_pad % dd:
+                dd -= granule
+            return max(dd, granule)
+
+        block_q = _divisor(min(block_q, 256), 8)
+        block_k = _divisor(min(block_k, 512), 128)
     dq, dk, dv, dbias, dgate = _bwd_impl(
-        q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k)
+        q, k, v, bias, gate, kv_len, out, lse[:, :, :t], g,
+        block_q, block_k)
     return dq, dk, dv, dbias, dgate, None
 
 
@@ -513,20 +539,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # ~50 KB at T=1536 (measured). 256 keeps headroom.
         block_q = min(block_q, 256)
         block_k = min(block_k, 256)
-    # Clamp blocks for short sequences while honoring Mosaic tiling: the
-    # q-block is a sublane dim (multiple of 8), the k-block a lane dim
-    # (multiple of 128), and one must divide the other so a single padded
-    # length serves both grids.
-    def _ru(x, m):
-        return -(-x // m) * m
+    # Final block selection: pad T to the 128-lane granule, then shrink
+    # each block bound to the largest tile-aligned divisor of the padded
+    # length (q blocks are a sublane dim → multiple of 8; k blocks a lane
+    # dim → multiple of 128). Divisors of t_pad always exist at both
+    # granules, so no extra padding beyond the 128 granule is ever added.
+    t_pad = -(-t // 128) * 128
 
-    block_q = min(block_q, _ru(t, 8))
-    block_k = min(block_k, _ru(t, 128))
-    if block_k >= block_q:
-        block_k = _ru(block_k, block_q)
-    else:
-        block_q = _ru(block_q, block_k)
-    t_pad = _ru(t, max(block_q, block_k))
-    if block_k % 128 != 0 and block_k != t_pad:
-        block_k = t_pad  # single k-block: lane dim equals the array dim
+    def _divisor(bound: int, granule: int) -> int:
+        d = min(bound, t_pad) // granule * granule
+        while d > granule and t_pad % d:
+            d -= granule
+        return max(d, granule)
+
+    block_q = _divisor(block_q, 8)
+    block_k = _divisor(block_k, 128)
     return _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k)
