@@ -16,6 +16,7 @@ needs dBias/dGate, which this kernel does not produce (future work).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -199,20 +200,35 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
     return out[:, :, :t], lse
 
 
+def _divisor_block(bound: int, granule: int, t_pad: int) -> int:
+    d = min(bound, t_pad) // granule * granule
+    while d > granule and t_pad % d:
+        d -= granule
+    return max(d, granule)
+
+
 def flash_attention_trainable(q, k, v, kv_len=None,
-                              block_q: int = 256, block_k: int = 512):
+                              block_q: Optional[int] = None,
+                              block_k: Optional[int] = None):
     """Differentiable fused attention (no bias). q/k/v: [B,H,T,D].
 
-    Blocks shrink automatically for wide heads: the backward kernels keep
-    full-T q/dO (dK/dV pass) and k/v (dQ pass) streams in VMEM, so at
-    D ≥ 256 (Conformer heads over a 768-wide trunk) the default 256/512
-    blocks exceed the ~16 MB VMEM budget (measured: scoped-vmem OOM at
-    [8,2,1536,384] f32).
+    Defaults are the serving-sweep optimum shared with flash_attention
+    (full-row k blocks = single-pass softmax, wide q tiles). Blocks shrink
+    automatically for wide heads: the backward kernels keep full-T q/dO
+    (dK/dV pass) and k/v (dQ pass) streams in VMEM, so at D ≥ 256
+    (Conformer heads over a 768-wide trunk) wide blocks exceed the ~16 MB
+    VMEM budget (measured: scoped-vmem OOM at [8,2,1536,384] f32).
     """
-    d = q.shape[-1]
+    from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+    t, d = q.shape[2], q.shape[3]
+    block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
+    block_k = DEFAULT_BLOCK_K if block_k is None else block_k
     if d >= 256:
         block_q = min(block_q, 128)
         block_k = min(block_k, 128)
+    t_pad = -(-t // 128) * 128
+    block_q = _divisor_block(block_q, 8, t_pad)
+    block_k = _divisor_block(block_k, 128, t_pad)
     return _flash_trainable_core(q, k, v, kv_len, block_q, block_k)
 
 
@@ -230,14 +246,20 @@ def _vjp_fwd(q, k, v, kv_len, block_q, block_k):
 def _vjp_bwd(block_q, block_k, residuals, g):
     q, k, v, kv_len, out, lse = residuals
     b, h, t, d = q.shape
+    # The bwd keeps full-T streams in VMEM; shrink wide forward tiles to
+    # its own divisor-aligned budget and re-pad the saved lse accordingly
+    # (zero rows are inert: padded q rows have s=0 → p=1, dO=0).
+    t_pad128 = -(-t // 128) * 128
+    block_q = _divisor_block(min(block_q, 256), 8, t_pad128)
+    block_k = _divisor_block(min(block_k, 512), 128, t_pad128)
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    lse = jnp.pad(lse[:, :, :t], pad)
     do = jnp.pad(g, pad)
     op = jnp.pad(out, pad)
     # delta = rowsum(dO * O), kept 4-D [B,H,T,1] for TPU block tiling
     delta = jnp.sum(do.astype(jnp.float32) * op.astype(jnp.float32),
                     axis=-1, keepdims=True)
-    # padded rows: lse already padded? lse produced at t_pad length.
 
     sm_scale = 1.0 / np.sqrt(d)
 
