@@ -224,8 +224,14 @@ def flash_attention_trainable(q, k, v, kv_len=None,
     block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
     block_k = DEFAULT_BLOCK_K if block_k is None else block_k
     if d >= 256:
-        block_q = min(block_q, 128)
-        block_k = min(block_k, 128)
+        # Wide heads: full-T k/v streams scale with D. bf16 inference
+        # still affords 256-row q tiles with full-row k; f32 needs 128s
+        # (the backward clamps itself separately in _vjp_bwd).
+        if q.dtype == jnp.bfloat16:
+            block_q = min(block_q, 256)
+        else:
+            block_q = min(block_q, 128)
+            block_k = min(block_k, 128)
     t_pad = -(-t // 128) * 128
     block_q = _divisor_block(block_q, 8, t_pad)
     block_k = _divisor_block(block_k, 128, t_pad)
@@ -250,8 +256,14 @@ def _vjp_bwd(block_q, block_k, residuals, g):
     # its own divisor-aligned budget and re-pad the saved lse accordingly
     # (zero rows are inert: padded q rows have s=0 → p=1, dO=0).
     t_pad128 = -(-t // 128) * 128
-    block_q = _divisor_block(min(block_q, 256), 8, t_pad128)
-    block_k = _divisor_block(min(block_k, 512), 128, t_pad128)
+    if d >= 256:
+        # full-T q/dO (dK/dV) and k/v (dQ) streams at 4 B/elem: wide-head
+        # backwards need 128s (measured scoped-vmem OOM at (256,512) f32).
+        block_q = _divisor_block(min(block_q, 128), 8, t_pad128)
+        block_k = _divisor_block(min(block_k, 128), 128, t_pad128)
+    else:
+        block_q = _divisor_block(min(block_q, 256), 8, t_pad128)
+        block_k = _divisor_block(min(block_k, 512), 128, t_pad128)
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
     lse = jnp.pad(lse[:, :, :t], pad)
