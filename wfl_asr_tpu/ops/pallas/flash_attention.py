@@ -95,6 +95,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
             jnp.int32, (block_q, block_k), 1)
         s = jnp.where(k_idx < kv_len, s, NEG_INF)
 
+        # Measured: running the softmax arithmetic in bf16 is ~3% SLOWER
+        # end to end (3056 vs 3149 RTFx) — the dtype casts cost more than
+        # the bf16 VPU ops save. Softmax stays f32.
         m_cur = jnp.max(s, axis=1, keepdims=True)          # [BQ, 1]
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
