@@ -12,7 +12,8 @@ Prints ONE JSON line:
 publishes no numbers — BASELINE.md.)
 
 Env knobs: WFL_BENCH_BATCH (default 8), WFL_BENCH_ITERS (default 10),
-WFL_BENCH_DTYPE (bf16|f32, default bf16).
+WFL_BENCH_DTYPE (bf16|f32, default bf16), WFL_BENCH_ENCODER
+(wavlm|whisper, default wavlm), WFL_BENCH_CHUNK_S, WFL_BENCH_DP.
 """
 
 from __future__ import annotations
@@ -48,13 +49,24 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} | batch={batch} x 30s | dtype={dtype_name}")
 
-    arch = graft._flagship_arch(tiny=False)
+    import dataclasses
+    encoder = os.environ.get("WFL_BENCH_ENCODER", "wavlm")
+    if encoder == "whisper":
+        from wfl_asr_tpu.models.whisper import whisper_arch_from_name
+        wh = whisper_arch_from_name("openai/whisper-base")
+        arch = dataclasses.replace(
+            graft._flagship_arch(tiny=False), encoder_type="whisper",
+            hidden_size=wh.d_model, wavlm=None, whisper=wh)
+    else:
+        arch = graft._flagship_arch(tiny=False)
     if dev.platform == "tpu":
-        import dataclasses
-        arch = dataclasses.replace(arch, use_flash_attention=True,
-                                   wavlm=dataclasses.replace(
-                                       arch.wavlm, use_flash_attention=True,
-                                       use_fused_conv=True))
+        arch = dataclasses.replace(arch, use_flash_attention=True)
+        if arch.wavlm is not None:
+            arch = dataclasses.replace(arch, wavlm=dataclasses.replace(
+                arch.wavlm, use_flash_attention=True, use_fused_conv=True))
+        if arch.whisper is not None:
+            arch = dataclasses.replace(arch, whisper=dataclasses.replace(
+                arch.whisper, use_flash_attention=True))
     params, state = init_tagger(jax.random.PRNGKey(0), arch)
     params = jax.device_put(params)
     state = jax.device_put(state)
@@ -63,11 +75,13 @@ def main() -> None:
     samples = int(chunk_s * 16000)
 
     # Session-style precompute: the position bias depends only on (params, T)
-    from wfl_asr_tpu.models.wavlm import position_bias
-    t_frames = arch.wavlm.feature_lengths(samples)
-    pos_bias = jax.jit(position_bias, static_argnames=("arch", "length"))(
-        params["encoder"], arch.wavlm, t_frames)
-    jax.block_until_ready(pos_bias)
+    pos_bias = None
+    if arch.wavlm is not None:
+        from wfl_asr_tpu.models.wavlm import position_bias
+        t_frames = arch.wavlm.feature_lengths(samples)
+        pos_bias = jax.jit(position_bias, static_argnames=("arch", "length"))(
+            params["encoder"], arch.wavlm, t_frames)
+        jax.block_until_ready(pos_bias)
 
     @jax.jit
     def infer(params, state, audio, lang_ids, pos_bias):
@@ -136,7 +150,8 @@ def main() -> None:
     audio_seconds = batch * chunk_s
     rtfx = audio_seconds / pipelined
     result = {
-        "metric": "batched_infer_rtfx_wavlm_base",
+        "metric": ("batched_infer_rtfx_wavlm_base" if encoder == "wavlm"
+                   else f"batched_infer_rtfx_{encoder}_base"),
         "value": round(rtfx, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtfx / 50.0, 3),

@@ -556,3 +556,79 @@ def test_empty_train_split_raises(tmp_path):
     run_preprocess(data_dir, config)
     with pytest.raises(ValueError, match="no training samples"):
         train(os.path.join(save_dir, "config.yaml"))
+
+
+def test_soft_iou_segmental_loss():
+    """Differentiable segmental surrogate: perfect sharp predictions → ~0
+    loss; gradients are nonzero and descending them raises the soft IoU;
+    ignore_index frames contribute nothing."""
+    from wfl_asr_tpu.train.losses import soft_iou_segmental_loss
+
+    rng = np.random.RandomState(0)
+    b, t, c = 2, 12, 5
+    labels = rng.randint(0, c, (b, t)).astype(np.int64)
+    labels[1, -4:] = -100                                   # padded frames
+
+    # sharp correct logits → loss near 0
+    sharp = np.full((b, t, c), -20.0, np.float32)
+    for i in range(b):
+        for j in range(t):
+            sharp[i, j, labels[i, j] if labels[i, j] >= 0 else 0] = 20.0
+    l0 = float(soft_iou_segmental_loss(jnp.asarray(sharp),
+                                       jnp.asarray(labels)))
+    assert l0 < 1e-3
+
+    # random logits: positive loss, nonzero grads, and a few GD steps help
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+
+    def loss(lg):
+        return soft_iou_segmental_loss(lg, jnp.asarray(labels))
+
+    l1 = float(loss(logits))
+    assert 0.0 < l1 <= 1.0
+    g = jax.grad(loss)(logits)
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+    # padded frames get exactly zero gradient
+    np.testing.assert_allclose(np.asarray(g[1, -4:]), 0.0, atol=1e-7)
+    lg = logits
+    step = jax.jit(lambda x: x - 5.0 * jax.grad(loss)(x))
+    for _ in range(200):
+        lg = step(lg)
+    assert float(loss(lg)) < l1 - 0.1
+
+
+def test_train_step_with_differentiable_segmental(tmp_path):
+    """seg_diff_weight wires into the jitted train step (loss shifts, step
+    runs, params update)."""
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.tagger import init_tagger
+    from wfl_asr_tpu.train.loop import make_train_step
+    from wfl_asr_tpu.train.prodigy import prodigy
+    import optax
+
+    arch = graft._flagship_arch(tiny=True)
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: prodigy(learning_rate=learning_rate))(
+        learning_rate=1.0)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    b, s, t = 2, 4000, 20
+    args = (jax.random.PRNGKey(1),
+            jnp.asarray((rng.randn(b, s) * 0.1).astype(np.float32)),
+            jnp.asarray(rng.randint(0, arch.num_labels, (b, t))
+                        .astype(np.int64)),
+            jnp.asarray(np.zeros(b, np.int32)),
+            jnp.asarray(rng.randint(0, t, (b, 4)).astype(np.int32)),
+            jnp.asarray(rng.randint(0, 2, (b, 4)).astype(np.int32)),
+            jnp.asarray(rng.rand(b, 4).astype(np.float32)),
+            jnp.asarray(np.ones((b, 4), bool)))
+
+    base = make_train_step(arch, 0.1, 3.0, tx)
+    seg = make_train_step(arch, 0.1, 3.0, tx, seg_diff_weight=0.5)
+    out0 = base(params, state, opt_state, *args, max_label_len=t)
+    params2, state2 = init_tagger(jax.random.PRNGKey(0), arch)
+    out1 = seg(params2, state2, tx.init(params2), *args, max_label_len=t)
+    l_base, l_seg = float(out0[3]["loss"]), float(out1[3]["loss"])
+    assert l_seg > l_base  # the soft-IoU term adds a positive component

@@ -153,6 +153,14 @@ class Config:
         return float(self._sec("model").get("segmental_loss_weight", 1.0))  # train.py:250
 
     @property
+    def differentiable_segmental_weight(self) -> float:
+        # NEW (no reference analogue): weight of the trainable soft-IoU
+        # segmental term; 0 keeps the reference's gradient-dead behavior
+        # (quirk Q1). See train/losses.py soft_iou_segmental_loss.
+        return float(self._sec("model").get(
+            "differentiable_segmental_weight", 0.0))
+
+    @property
     def segmental_loss_weights(self) -> Tuple[float, float, float]:
         v = self._sec("model").get("segmental_loss_weights", (1.0, 1.0, 2.0))  # train.py:222
         return tuple(float(x) for x in v)

@@ -48,7 +48,8 @@ from ..labels import (canonical_to_lang, clean_lab, decode_bio_tags,
 from ..metrics import framewise_accuracy, phoneme_error_rate, timing_error_rate
 from ..models.tagger import TaggerArch, apply_tagger, init_tagger
 from ..ops.postprocess import median_filter_ids
-from .losses import cross_entropy, offset_loss, segmental_loss_value
+from .losses import (cross_entropy, offset_loss, segmental_loss_value,
+                     soft_iou_segmental_loss)
 from .prodigy import prodigy
 from .schedules import get_scheduler
 
@@ -122,7 +123,8 @@ def encoder_freeze_mask(params):
 
 def make_train_step(arch: TaggerArch, label_smoothing: float,
                     subframe_weight: float, tx,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32,
+                    seg_diff_weight: float = 0.0):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -135,8 +137,13 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                 compute_dtype=compute_dtype)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
-            return ce + subframe_weight * ol, (new_state, ce, ol, logits,
-                                               offsets)
+            loss = ce + subframe_weight * ol
+            if seg_diff_weight:
+                # Optional trainable segmental term (the reference's is
+                # gradient-dead, quirk Q1): soft-IoU over tag posteriors.
+                loss = loss + seg_diff_weight * soft_iou_segmental_loss(
+                    logits, labels)
+            return loss, (new_state, ce, ol, logits, offsets)
 
         (loss, (new_state, ce, ol, logits, offsets)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -390,9 +397,10 @@ def train(config_path: str = "config.yaml",
     compute_dtype = jnp.bfloat16 if str(
         cfg.raw.get("training", {}).get("compute_dtype", "float32")) \
         in ("bfloat16", "bf16") else jnp.float32
-    train_step = make_train_step(arch, cfg.label_smoothing,
-                                 cfg.subframe_loss_weight, tx,
-                                 compute_dtype=compute_dtype)
+    train_step = make_train_step(
+        arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
+        compute_dtype=compute_dtype,
+        seg_diff_weight=cfg.differentiable_segmental_weight)
     eval_step = make_eval_step(arch, cfg.label_smoothing)
 
     step = 0
