@@ -108,6 +108,7 @@ def rtfx():
         ("wavlm-large", "wavlm", "microsoft/wavlm-large"),
         ("whisper-small", "whisper", "openai/whisper-small"),
         ("whisper-medium", "whisper", "openai/whisper-medium"),
+        ("whisper-large", "whisper", "openai/whisper-large"),
     ]
     rng = np.random.RandomState(0)
     audio = jnp.asarray((rng.randn(B, S) * 0.1).astype(np.float32))

@@ -122,3 +122,69 @@ def test_feature_encoder_fused_masked_matches_exact():
     np.testing.assert_allclose(np.asarray(bucketed[1, :tv]),
                                np.asarray(exact[0]),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_frozen_encoder_train_step_with_fused_conv():
+    """freeze_encoder training may run the forward-only fused conv chains
+    (stop_gradient keeps the backward away from the Pallas kernel)."""
+    import optax
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.tagger import init_tagger
+    from wfl_asr_tpu.train.loop import make_train_step
+    from wfl_asr_tpu.train.prodigy import prodigy
+
+    arch = graft._flagship_arch(tiny=True)
+    arch = dataclasses.replace(
+        arch, freeze_encoder=True,
+        wavlm=dataclasses.replace(arch.wavlm, use_fused_conv=True))
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: prodigy(learning_rate=learning_rate))(
+        learning_rate=1.0)
+    step = make_train_step(arch, 0.1, 3.0, tx)
+    rng = np.random.RandomState(0)
+    b, s, t = 2, 4000, 20
+    out = step(params, state, tx.init(params), jax.random.PRNGKey(1),
+               jnp.asarray((rng.randn(b, s) * 0.1).astype(np.float32)),
+               jnp.asarray(rng.randint(0, arch.num_labels, (b, t))
+                           .astype(np.int64)),
+               jnp.asarray(np.zeros(b, np.int32)),
+               jnp.asarray(rng.randint(0, t, (b, 4)).astype(np.int32)),
+               jnp.asarray(rng.randint(0, 2, (b, 4)).astype(np.int32)),
+               jnp.asarray(rng.rand(b, 4).astype(np.float32)),
+               jnp.asarray(np.ones((b, 4), bool)), max_label_len=t)
+    assert np.isfinite(float(out[3]["loss"]))
+
+
+def test_session_warmup(tmp_path):
+    """InferenceSession.warmup pre-compiles bucket graphs without error."""
+    import yaml
+    from wfl_asr_tpu.checkpoint import save_model_checkpoint
+    from wfl_asr_tpu.infer.pipeline import InferenceSession
+    from wfl_asr_tpu.models.tagger import TaggerArch, init_tagger
+
+    labels = sorted([f"B-p{i}" for i in range(3)]
+                    + [f"I-p{i}" for i in range(3)] + ["O"])
+    save_dir = tmp_path / "save"
+    save_dir.mkdir()
+    (save_dir / "phonemes.txt").write_text("\n".join(labels) + "\n")
+    (save_dir / "langs.txt").write_text("en,0\n")
+    cfg = {"data": {"sample_rate": 16000, "frame_duration": 0.02,
+                    "n_mels": 40},
+           "model": {"encoder_type": "none", "num_languages": 1,
+                     "lang_emb_dim": 8},
+           "output": {"save_dir": str(save_dir)},
+           "postprocess": {"median_filter": 1, "merge_segments": "none"}}
+    config_path = save_dir / "config.yaml"
+    config_path.write_text(yaml.dump(cfg, sort_keys=False))
+    arch = TaggerArch.from_config(
+        __import__("wfl_asr_tpu.config", fromlist=["Config"])
+        .Config.load(str(config_path)), len(labels))
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    ckpt = save_dir / "best_model.pt"
+    save_model_checkpoint(str(ckpt), params, state, arch)
+    session = InferenceSession(str(config_path), str(ckpt), arch=arch)
+    session.warmup(durations_s=(1.0,), num_langs=1)
+    logits, offsets = session.forward(
+        np.random.RandomState(0).randn(16000).astype(np.float32) * 0.3, [0])
+    assert logits.shape[0] == 1 and offsets.shape[-1] == 2

@@ -165,6 +165,17 @@ class InferenceSession:
         hop = int(self.arch.frame_duration * self.sr)
         return num_samples // hop + 1
 
+    def warmup(self, durations_s: Sequence[float] = (30.0,),
+               num_langs: int = 1) -> None:
+        """Pre-compile the bucketed forward graphs (first compile of a
+        large graph costs 30-90 s in this environment) so the first real
+        request is served at steady-state latency. One entry per expected
+        bucket duration; multi-language callers pass their language count
+        so the row-batched graph matches."""
+        for dur in durations_s:
+            s = max(int(float(dur) * self.sr), 1)
+            self.forward(np.zeros(s, np.float32), list(range(num_langs)))
+
     def forward(self, audio: np.ndarray,
                 lang_ids: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
         """Exact-length forward on bucketed static shapes.

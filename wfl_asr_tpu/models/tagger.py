@@ -241,6 +241,13 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
     deterministic = not train
 
     enc_rng = rngs.pop() if train else None
+    if arch.freeze_encoder and "encoder" in params:
+        # Stop gradients at the encoder *parameters* (not just the output):
+        # with zero-tangent inputs, linearization skips the encoder's JVP
+        # entirely — which both saves work and allows forward-only Pallas
+        # kernels (fused conv chains) inside a frozen encoder under grad.
+        params = dict(params)
+        params["encoder"] = jax.lax.stop_gradient(params["encoder"])
     hidden = encode(params, arch, audio, rng=enc_rng,
                     deterministic=deterministic, compute_dtype=compute_dtype,
                     sample_mask=sample_mask, frame_mask=frame_mask,

@@ -358,8 +358,12 @@ def train(config_path: str = "config.yaml",
             arch = dataclasses.replace(arch, whisper=dataclasses.replace(
                 arch.whisper, use_flash_attention=True))
         if arch.wavlm is not None:
+            # freeze_encoder: no gradient flows through the feature
+            # encoder (stop_gradient), so the forward-only fused conv
+            # chains are safe to use in training too.
             arch = dataclasses.replace(arch, wavlm=dataclasses.replace(
-                arch.wavlm, use_flash_attention=True))
+                arch.wavlm, use_flash_attention=True,
+                use_fused_conv=arch.freeze_encoder))
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng, ft_rng = jax.random.split(rng, 3)
     params, model_state = init_tagger(init_rng, arch)
