@@ -221,11 +221,12 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
                      lse_ref, delta_ref, kvlen_ref, dk_ref, dv_ref, *,
                      block_q: int, sm_scale: float, t_pad: int,
                      has_bias: bool, has_gate: bool):
-    # grid (h, b, k). q/do: [1,1,T_pad,D]; k/v: [1,1,BLOCK_K,D];
-    # bias: [1,T_pad,BLOCK_K]; gate: [1,1,T_pad,1]; lse/delta: [1,1,T_pad,1].
+    # grid (h, k, b) — batch innermost so the bias block stays resident.
+    # q/do: [1,1,T_pad,D]; k/v: [1,1,BLOCK_K,D]; bias: [1,T_pad,BLOCK_K];
+    # gate: [1,1,T_pad,1]; lse/delta: [1,1,T_pad,1].
     block_k, d = k_ref.shape[2], k_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
-    kb_start = pl.program_id(2) * block_k
+    kb_start = pl.program_id(1) * block_k
 
     k_blk = k_ref[0, 0].astype(jnp.float32)
     v_blk = v_ref[0, 0].astype(jnp.float32)
@@ -348,49 +349,53 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
                     axis=-1, keepdims=True)
     sm_scale = 1.0 / np.sqrt(d)
 
+    # Grid (h, k, b) with batch innermost: the (head, k-tile) bias block
+    # stays VMEM-resident across batch iterations — bias HBM traffic in
+    # the dK/dV pass is [H,T,T] once per layer instead of once per
+    # (layer, batch element), mirroring the forward's grid order.
     def bias_spec_kblocked():
         if has_bias:
             return pl.BlockSpec((1, t_pad, block_k),
-                                lambda hi, bi, ki: (hi, 0, ki),
+                                lambda hi, ki, bi: (hi, 0, ki),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (0, 0, 0),
+        return pl.BlockSpec((1, 1, 1), lambda hi, ki, bi: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def gate_spec_full():
         if has_gate:
             return pl.BlockSpec((1, 1, t_pad, 1),
-                                lambda hi, bi, ki: (bi, hi, 0, 0),
+                                lambda hi, ki, bi: (bi, hi, 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, 1, 1, 1), lambda hi, bi, ki: (0, 0, 0, 0),
+        return pl.BlockSpec((1, 1, 1, 1), lambda hi, ki, bi: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, block_q=block_q,
                           sm_scale=sm_scale, t_pad=t_pad,
                           has_bias=has_bias, has_gate=has_gate),
-        grid=(h, b, t_pad // block_k),
+        grid=(h, t_pad // block_k, b),
         in_specs=[
-            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
             bias_spec_kblocked(),
             gate_spec_full(),
-            pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, d), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda hi, ki, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
@@ -506,7 +511,10 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
             return max(dd, granule)
 
         block_q = _divisor(min(block_q, 256), 8)
-        block_k = _divisor(min(block_k, 512), 128)
+        # Full-row bwd k blocks measured a 19.3 MB scoped-vmem OOM (the
+        # [T, BK] bias tile is double-buffered); 512 bf16 / 256 f32 fit.
+        bk_cap = 512 if q.dtype == jnp.bfloat16 else 256
+        block_k = _divisor(min(block_k, bk_cap), 128)
     dq, dk, dv, dbias, dgate = _bwd_impl(
         q, k, v, bias, gate, kv_len, out, lse[:, :, :t], g,
         block_q, block_k)
