@@ -77,3 +77,22 @@ def test_batched_folder_lang_averaging(reference_tagger_module, tmp_path):
     for i in range(2):
         assert open(os.path.join(out_a, f"v{i}.lab")).read() == \
             open(os.path.join(out_b, f"v{i}.lab")).read()
+
+
+def test_session_cache_reused_with_data_parallel_single_device(monkeypatch):
+    """data_parallel=True on a single-device host must reuse the cached
+    mesh-less session instead of rebuilding (and recompiling) per call."""
+    from wfl_asr_tpu.infer import pipeline as P
+
+    class _Fake:
+        mesh = None
+
+    key = ("/tmp/_fake_cfg_x", "/tmp/_fake_ckpt_x")
+    sentinel = _Fake()
+    P._SESSION_CACHE[key] = sentinel
+    monkeypatch.setattr(P.jax, "devices", lambda: [object()])  # 1 device
+    try:
+        got = P._get_session(key[0], key[1], data_parallel=True)
+        assert got is sentinel  # one device: cached session is correct
+    finally:
+        del P._SESSION_CACHE[key]

@@ -452,9 +452,13 @@ def _get_session(config_path: str, checkpoint_path: str,
                  data_parallel: bool = False) -> InferenceSession:
     key = (os.path.abspath(config_path), os.path.abspath(checkpoint_path))
     session = _SESSION_CACHE.get(key)
-    if session is None or (data_parallel and session.mesh is None):
+    # data_parallel is only actionable with >1 device; on a single-device
+    # host the cached mesh-less session IS the right one (rebuilding it
+    # would recompile every bucket graph per call).
+    want_mesh = data_parallel and len(jax.devices()) > 1
+    if session is None or (want_mesh and session.mesh is None):
         mesh = None
-        if data_parallel and len(jax.devices()) > 1:
+        if want_mesh:
             from ..parallel import make_mesh
             mesh = make_mesh()
         _SESSION_CACHE[key] = session = InferenceSession(

@@ -141,23 +141,33 @@ def group_norm(scale, bias, x: jnp.ndarray, num_groups: int,
     return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
 
 
+def channel_stats(x: jnp.ndarray,
+                  time_mask: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, channel) mean/variance over T of [B, T, C] in f32,
+    optionally restricted to ``time_mask`` [B, T] (bucketed inference).
+    Returns (mean [B, C], var [B, C]) — the statistics half of the WavLM
+    layer-0 GroupNorm, shared by the channels-last norm below and the
+    fused-conv fast path (which applies them inside its Pallas kernel)."""
+    xf = x.astype(jnp.float32)
+    if time_mask is None:
+        return jnp.mean(xf, axis=1), jnp.var(xf, axis=1)
+    m = time_mask.astype(jnp.float32)[:, :, None]             # [B, T, 1]
+    count = jnp.maximum(jnp.sum(m, axis=1), 1.0)              # [B, 1]
+    mean = jnp.sum(xf * m, axis=1) / count
+    var = jnp.sum(jnp.square(xf - mean[:, None, :]) * m, axis=1) / count
+    return mean, var
+
+
 def group_norm_channels_last(scale, bias, x: jnp.ndarray, eps: float = 1e-5,
                              time_mask: Optional[jnp.ndarray] = None
                              ) -> jnp.ndarray:
     """Per-channel GroupNorm (num_groups == C) over [B, T, C]: statistics
     over T. Channels-last twin of ``group_norm`` for the WavLM layer-0 norm
     — same f32 math, no [B, C, T] layout round-trip."""
-    xf = x.astype(jnp.float32)
-    if time_mask is None:
-        mean = jnp.mean(xf, axis=1, keepdims=True)
-        var = jnp.var(xf, axis=1, keepdims=True)
-    else:
-        m = time_mask.astype(jnp.float32)[:, :, None]         # [B, T, 1]
-        count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-        mean = jnp.sum(xf * m, axis=1, keepdims=True) / count
-        var = jnp.sum(jnp.square(xf - mean) * m, axis=1,
-                      keepdims=True) / count
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    mean, var = channel_stats(x, time_mask)
+    y = (x.astype(jnp.float32) - mean[:, None, :]) \
+        * jax.lax.rsqrt(var[:, None, :] + eps)
     return (y * scale[None, None, :] + bias[None, None, :]).astype(x.dtype)
 
 

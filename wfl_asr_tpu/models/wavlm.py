@@ -36,9 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (attention_core, conv1d, dropout, gelu, group_norm,
-                     group_norm_channels_last, init_conv1d, init_layer_norm,
-                     init_linear, layer_norm, linear)
+from .layers import (attention_core, channel_stats, conv1d, dropout, gelu,
+                     group_norm, init_conv1d, init_layer_norm, init_linear,
+                     layer_norm, linear)
 
 # Sequence length above which the Pallas flash kernel beats XLA attention
 # (score-tensor traffic grows as T²; crossover measured on v5e between
@@ -215,16 +215,7 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
             valid_len = (valid_len - arch.conv_kernel[0]) \
                 // arch.conv_stride[0] + 1
             time_mask = jnp.arange(x.shape[1])[None, :] < valid_len[:, None]
-        xf = x.astype(jnp.float32)
-        if time_mask is None:
-            mean = jnp.mean(xf, axis=1)                      # [B, C]
-            var = jnp.var(xf, axis=1)
-        else:
-            m = time_mask.astype(jnp.float32)[:, :, None]
-            count = jnp.maximum(jnp.sum(m, axis=1), 1.0)     # [B, 1]
-            mean = jnp.sum(xf * m, axis=1) / count
-            var = jnp.sum(jnp.square(xf - mean[:, None, :]) * m,
-                          axis=1) / count
+        mean, var = channel_stats(x, time_mask)              # [B, C] each
         inv = jax.lax.rsqrt(var + 1e-5)
         norm = (mean, inv, layers[0]["norm"]["scale"],
                 layers[0]["norm"]["bias"])

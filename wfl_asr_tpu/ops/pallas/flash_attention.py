@@ -54,6 +54,16 @@ DEFAULT_BLOCK_K = int(os.environ.get("WFL_FLASH_BK", "1536"))
 NEG_INF = -1e30
 
 
+def divisor_block(bound: int, granule: int, t_pad: int) -> int:
+    """Largest tile-aligned block ≤ bound that divides the padded length
+    (granule 8 for sublane dims, 128 for lane dims; a divisor always
+    exists because t_pad is a multiple of both granules)."""
+    d = min(bound, t_pad) // granule * granule
+    while d > granule and t_pad % d:
+        d -= granule
+    return max(d, granule)
+
+
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
@@ -496,25 +506,17 @@ def _flash_vjp_fwd(q, k, v, bias, gate, kv_len, block_q, block_k):
 def _flash_vjp_bwd(block_q, block_k, residuals, g):
     q, k, v, bias, gate, kv_len, out, lse = residuals
     t = q.shape[2]
-    # The backward kernels keep more live state than the forward (bias
-    # tiles in BOTH orientations plus the f32 dBias accumulator), so the
-    # serving-optimal forward tiles (768×full-row) overflow VMEM here
-    # (measured 18.75 MB at bf16 B=8×30 s). Pick smaller, divisor-aligned
-    # bwd blocks; the saved lse is re-padded to the bwd padding.
-    if bias is not None:
-        t_pad = -(-t // 128) * 128
-
-        def _divisor(bound, granule):
-            dd = min(bound, t_pad) // granule * granule
-            while dd > granule and t_pad % dd:
-                dd -= granule
-            return max(dd, granule)
-
-        block_q = _divisor(min(block_q, 256), 8)
-        # Full-row bwd k blocks measured a 19.3 MB scoped-vmem OOM (the
-        # [T, BK] bias tile is double-buffered); 512 bf16 / 256 f32 fit.
-        bk_cap = 512 if q.dtype == jnp.bfloat16 else 256
-        block_k = _divisor(min(block_k, bk_cap), 128)
+    # The backward kernels keep more live state than the forward (full-T
+    # q/dO and k/v streams; with a bias, tiles in BOTH orientations plus
+    # the f32 dBias accumulator), so the serving-optimal forward tiles
+    # (768×full-row) overflow VMEM here — measured 18.75 MB at bf16
+    # B=8×30 s with bias, and full-row bwd k blocks OOM at 19.3 MB. Clamp
+    # to measured-safe divisor-aligned blocks in every case (bias or not);
+    # the saved lse is re-padded to the bwd padding.
+    t_pad = -(-t // 128) * 128
+    bk_cap = 256 if (bias is not None and q.dtype != jnp.bfloat16) else 512
+    block_q = divisor_block(min(block_q, 256), 8, t_pad)
+    block_k = divisor_block(min(block_k, bk_cap), 128, t_pad)
     dq, dk, dv, dbias, dgate = _bwd_impl(
         q, k, v, bias, gate, kv_len, out, lse[:, :, :t], g,
         block_q, block_k)
@@ -556,13 +558,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # dim → multiple of 128). Divisors of t_pad always exist at both
     # granules, so no extra padding beyond the 128 granule is ever added.
     t_pad = -(-t // 128) * 128
-
-    def _divisor(bound: int, granule: int) -> int:
-        d = min(bound, t_pad) // granule * granule
-        while d > granule and t_pad % d:
-            d -= granule
-        return max(d, granule)
-
-    block_q = _divisor(block_q, 8)
-    block_k = _divisor(block_k, 128)
+    block_q = divisor_block(block_q, 8, t_pad)
+    block_k = divisor_block(block_k, 128, t_pad)
     return _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k)

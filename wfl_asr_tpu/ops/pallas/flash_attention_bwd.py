@@ -24,6 +24,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash_attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
+                              divisor_block)
+
 NEG_INF = -1e30
 
 
@@ -200,13 +203,6 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
     return out[:, :, :t], lse
 
 
-def _divisor_block(bound: int, granule: int, t_pad: int) -> int:
-    d = min(bound, t_pad) // granule * granule
-    while d > granule and t_pad % d:
-        d -= granule
-    return max(d, granule)
-
-
 def flash_attention_trainable(q, k, v, kv_len=None,
                               block_q: Optional[int] = None,
                               block_k: Optional[int] = None):
@@ -219,7 +215,6 @@ def flash_attention_trainable(q, k, v, kv_len=None,
     (Conformer heads over a 768-wide trunk) wide blocks exceed the ~16 MB
     VMEM budget (measured: scoped-vmem OOM at [8,2,1536,384] f32).
     """
-    from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
     t, d = q.shape[2], q.shape[3]
     block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
     block_k = DEFAULT_BLOCK_K if block_k is None else block_k
@@ -233,8 +228,8 @@ def flash_attention_trainable(q, k, v, kv_len=None,
             block_q = min(block_q, 128)
             block_k = min(block_k, 128)
     t_pad = -(-t // 128) * 128
-    block_q = _divisor_block(block_q, 8, t_pad)
-    block_k = _divisor_block(block_k, 128, t_pad)
+    block_q = divisor_block(block_q, 8, t_pad)
+    block_k = divisor_block(block_k, 128, t_pad)
     return _flash_trainable_core(q, k, v, kv_len, block_q, block_k)
 
 
@@ -259,11 +254,11 @@ def _vjp_bwd(block_q, block_k, residuals, g):
     if d >= 256:
         # full-T q/dO (dK/dV) and k/v (dQ) streams at 4 B/elem: wide-head
         # backwards need 128s (measured scoped-vmem OOM at (256,512) f32).
-        block_q = _divisor_block(min(block_q, 128), 8, t_pad128)
-        block_k = _divisor_block(min(block_k, 128), 128, t_pad128)
+        block_q = divisor_block(min(block_q, 128), 8, t_pad128)
+        block_k = divisor_block(min(block_k, 128), 128, t_pad128)
     else:
-        block_q = _divisor_block(min(block_q, 256), 8, t_pad128)
-        block_k = _divisor_block(min(block_k, 512), 128, t_pad128)
+        block_q = divisor_block(min(block_q, 256), 8, t_pad128)
+        block_k = divisor_block(min(block_k, 512), 128, t_pad128)
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
     lse = jnp.pad(lse[:, :, :t], pad)
