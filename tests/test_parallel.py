@@ -229,3 +229,32 @@ def test_tensor_parallel_matches_replicated():
     for a, b in list(zip(leaf_rep, leaf_tp))[:20]:
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_train_driver_tensor_parallel(tmp_path):
+    """training.model_parallel=2 runs the full driver end to end on the
+    virtual 8-device mesh (data=4 × model=2) — TP as a config change."""
+    import os
+    import random as pyrandom
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(21)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=6)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({"encoder_type": "none",
+                            "num_conformer_layers": 1,
+                            "lang_emb_dim": 8})
+    config["training"].update({
+        "batch_size": 4, "max_steps": 2, "val_check_interval": 2,
+        "seed": 0, "data_parallel": True, "model_parallel": 2,
+        "optimizer": "Prodigy", "learning_rate": 1.0,
+        "scheduler": "ConstantLR",
+    })
+    run_preprocess(data_dir, config)
+    train(os.path.join(save_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(save_dir, "last_model.pt"))

@@ -415,18 +415,21 @@ def train(config_path: str = "config.yaml",
     # ICI; SURVEY.md §2 "Parallelism"). Enabled automatically with >1
     # device unless training.data_parallel is false.
     n_devices = len(jax.devices())
-    use_dp = n_devices > 1 and bool(
-        cfg.raw.get("training", {}).get("data_parallel", True))
+    model_parallel = int(
+        cfg.raw.get("training", {}).get("model_parallel", 1))
+    use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
+        cfg.raw.get("training", {}).get("data_parallel", True)))
     mesh = None
-    if use_dp:
-        from ..parallel import make_mesh, replicate, shard_batch
-        if cfg.batch_size % n_devices != 0:
+    if use_mesh:
+        from ..parallel import make_mesh
+        mesh = make_mesh(model_parallel=model_parallel)
+        data_size = mesh.shape["data"]
+        if cfg.batch_size % data_size != 0:
             raise ValueError(
                 f"batch_size {cfg.batch_size} must be divisible by the "
-                f"{n_devices} devices for data parallelism")
-        mesh = make_mesh()
+                f"{data_size}-way data axis")
         train_loader.drop_last = True
-        print(f"[INFO] Data parallel over {n_devices} devices "
+        print(f"[INFO] Parallel over {n_devices} devices "
               f"(mesh {dict(mesh.shape)})")
 
     resume = find_resume_checkpoint(save_dir)
@@ -458,10 +461,19 @@ def train(config_path: str = "config.yaml",
         print("Training start")
 
     if mesh is not None:
-        from ..parallel import replicate
-        params = replicate(params, mesh)
+        from ..parallel import replicate, shard_params_tp, tp_shardings
+        if mesh.shape["model"] > 1:
+            # Tensor parallelism as a config change (training.model_parallel):
+            # Megatron-style shardings on the attention/FFN projections; the
+            # optimizer moments mirror the param tree's path suffixes, so the
+            # same spec function places them consistently.
+            params = shard_params_tp(params, mesh)
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, tp_shardings(opt_state, mesh))
+        else:
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
         model_state = replicate(model_state, mesh)
-        opt_state = replicate(opt_state, mesh)
     else:
         params = jax.device_put(params)
         model_state = jax.device_put(model_state)
