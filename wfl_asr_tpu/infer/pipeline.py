@@ -86,9 +86,10 @@ class InferenceSession:
         self.merge_map = load_phoneme_merge_map(
             os.path.join(save_dir, "phoneme_merge_map.json"))
         self.arch = arch or TaggerArch.from_config(self.cfg, len(self.label_list))
-        # Pallas flash attention on TPU (XLA attention elsewhere and for
-        # training — the kernel is forward-only).
-        if jax.devices()[0].platform == "tpu":
+        # Pallas kernels on a single TPU chip; a mesh (multi-chip DP
+        # serving) runs the pure-XLA graph — Pallas custom calls are not
+        # GSPMD-partitionable.
+        if jax.devices()[0].platform == "tpu" and mesh is None:
             import dataclasses
             self.arch = dataclasses.replace(self.arch,
                                             use_flash_attention=True)

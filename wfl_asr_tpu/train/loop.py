@@ -346,12 +346,16 @@ def train(config_path: str = "config.yaml",
                              frame_duration=cfg.frame_duration)
 
     arch = TaggerArch.from_config(cfg, len(label_list))
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and len(jax.devices()) == 1:
         # Differentiable Pallas flash attention for every encoder flavor
         # (measured: whisper-base train step 178 ms vs 191 ms XLA at
         # B=8×30 s). The WavLM kernel carries the gated relative-bias
         # gradients (dBias/dGate) through its custom VJP, so the flagship
         # encoder trains without materializing [B,H,T,T] score tensors.
+        # Multi-chip meshes run the pure-XLA graph instead: Pallas custom
+        # calls are not GSPMD-partitionable, and at DP batch-per-chip the
+        # XLA attention fits HBM again (shard_map-wrapped kernels are the
+        # roadmap item for Pallas-on-mesh).
         import dataclasses
         arch = dataclasses.replace(arch, use_flash_attention=True)
         if arch.whisper is not None:
