@@ -67,7 +67,9 @@ def parity():
 
         # --- whisper-small encoder at true dims ---
         from transformers import WhisperConfig, WhisperModel
-        from wfl_asr_tpu.models.whisper import WhisperArch, whisper_encode
+        from wfl_asr_tpu.models.whisper import (WhisperArch,
+                                                whisper_arch_from_name,
+                                                whisper_encode)
         from wfl_asr_tpu.models.convert import convert_whisper_encoder
 
         hf_cfg = WhisperConfig(
@@ -86,6 +88,30 @@ def parity():
         ours = np.asarray(whisper_encode(params, arch, jnp.asarray(feats)))
         err = np.max(np.abs(ours - ref))
         print(f"whisper-small parity: shape {ours.shape} vs {ref.shape}, "
+              f"max|diff|={err:.3e}", flush=True)
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+        del model, params
+
+        # --- whisper-large-v3 encoder at true dims (128 mel bins) ---
+        pre = whisper_arch_from_name("openai/whisper-large-v3")
+        hf_cfg = WhisperConfig(
+            d_model=pre.d_model, encoder_layers=pre.num_layers,
+            encoder_attention_heads=pre.num_heads,
+            encoder_ffn_dim=pre.ffn_dim, num_mel_bins=pre.num_mel_bins,
+            max_source_positions=1500, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, decoder_layers=1,
+            decoder_attention_heads=2, decoder_ffn_dim=64)
+        torch.manual_seed(0)
+        model = WhisperModel(hf_cfg).eval()
+        feats = np.random.RandomState(4).randn(1, 128, 3000) \
+            .astype(np.float32)
+        with torch.no_grad():
+            ref = model.encoder(torch.tensor(feats)).last_hidden_state.numpy()
+        arch = WhisperArch.from_hf_config(hf_cfg)
+        params = convert_whisper_encoder(model.state_dict(), arch)
+        ours = np.asarray(whisper_encode(params, arch, jnp.asarray(feats)))
+        err = np.max(np.abs(ours - ref))
+        print(f"whisper-large-v3 parity: shape {ours.shape} vs {ref.shape}, "
               f"max|diff|={err:.3e}", flush=True)
         np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
     print("PARITY OK", flush=True)

@@ -135,3 +135,70 @@ def test_wavlm_large_preset_matches_upstream_config():
     assert wavlm_arch_from_name("microsoft/wavlm-large") is large
     base = WAVLM_PRESETS["base"]
     assert base.conv_bias is False and base.feat_extract_norm == "group"
+
+
+def test_whisper_v3_presets():
+    """large-v3 / turbo are distinct presets with the 128-bin mel front-end
+    (the reference loads any HF name, model.py:69-71; silently mapping v3
+    onto the 80-mel 'large' preset would shape-error mid-forward)."""
+    from wfl_asr_tpu.models.whisper import (WHISPER_PRESETS,
+                                            whisper_arch_from_name)
+    v3 = whisper_arch_from_name("openai/whisper-large-v3")
+    assert v3.num_mel_bins == 128 and v3.d_model == 1280
+    assert v3.num_layers == 32 and v3.num_heads == 20
+    turbo = whisper_arch_from_name("openai/whisper-large-v3-turbo")
+    assert turbo == v3  # turbo shrinks only the (never-built) decoder
+    assert whisper_arch_from_name("whisper-turbo").num_mel_bins == 128
+    assert whisper_arch_from_name("whisper-large-v2").num_mel_bins == 80
+    assert whisper_arch_from_name("whisper-large-v1") == \
+        WHISPER_PRESETS["large"]
+
+
+def test_unknown_encoder_names_fail_loudly():
+    from wfl_asr_tpu.models.whisper import whisper_arch_from_name
+    from wfl_asr_tpu.models.tagger import wavlm_arch_from_name
+    with pytest.raises(ValueError) as e:
+        whisper_arch_from_name("openai/whisper-large-v4")
+    assert "large-v3" in str(e.value)               # names the presets
+    assert "encoder_arch_overrides" in str(e.value)  # names the escape hatch
+    with pytest.raises(ValueError) as e:
+        wavlm_arch_from_name("microsoft/wavlm-colossal")
+    assert "large" in str(e.value)
+    assert "encoder_arch_overrides" in str(e.value)
+
+
+def test_whisper_128mel_encoder_parity():
+    """Front-end + encoder parity at v3's 128 mel bins (small dims): our
+    whisper_log_mel(n_mels=128) + encoder vs HF WhisperFeatureExtractor
+    (feature_size=128) + WhisperModel.encoder."""
+    from transformers import WhisperFeatureExtractor, WhisperModel, WhisperConfig
+    from wfl_asr_tpu.models.whisper import WhisperArch, whisper_encode
+    from wfl_asr_tpu.models.convert import convert_whisper_encoder
+    from wfl_asr_tpu.ops import whisper_log_mel
+
+    torch.manual_seed(0)
+    hf_cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, num_mel_bins=128, max_source_positions=1500,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=64)
+    model = WhisperModel(hf_cfg).eval()
+    fe = WhisperFeatureExtractor(feature_size=128)
+
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(16000 * 2) * 0.3).astype(np.float32)
+
+    feats_ref = fe(audio, sampling_rate=16000,
+                   return_tensors="np")["input_features"]    # [1, 128, 3000]
+    with torch.no_grad():
+        ref = model.encoder(torch.tensor(feats_ref)).last_hidden_state.numpy()
+
+    arch = WhisperArch.from_hf_config(hf_cfg)
+    assert arch.num_mel_bins == 128
+    params = convert_whisper_encoder(model.state_dict(), arch)
+    feats = whisper_log_mel(jnp.asarray(audio[None]), n_mels=128)
+    np.testing.assert_allclose(np.asarray(feats), feats_ref,
+                               atol=2e-4, rtol=1e-4)
+    ours = np.asarray(whisper_encode(params, arch, feats))
+    assert ours.shape == ref.shape == (1, 1500, 64)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)

@@ -258,3 +258,48 @@ def test_train_driver_tensor_parallel(tmp_path):
     run_preprocess(data_dir, config)
     train(os.path.join(save_dir, "config.yaml"))
     assert os.path.exists(os.path.join(save_dir, "last_model.pt"))
+
+
+def test_maybe_initialize_distributed_guard():
+    """Initialize iff cluster env vars are present; exactly once (multi-host
+    can't be integration-tested on a single-host box, so the initializer is
+    injected)."""
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        # no cluster vars → no-op
+        assert mesh_mod.maybe_initialize_distributed(
+            env={}, _initialize=lambda: calls.append(1)) is False
+        assert calls == []
+        # coordinator var present → initializes once
+        env = {"JAX_COORDINATOR_ADDRESS": "10.0.0.1:8476"}
+        assert mesh_mod.maybe_initialize_distributed(
+            env=env, _initialize=lambda: calls.append(1)) is True
+        assert calls == [1]
+        # second call is a no-op even with the env present
+        assert mesh_mod.maybe_initialize_distributed(
+            env=env, _initialize=lambda: calls.append(1)) is False
+        assert calls == [1]
+    finally:
+        mesh_mod._dist_initialized = orig
+
+
+def test_maybe_initialize_distributed_tolerates_prior_init():
+    """A launcher that already initialized jax.distributed raises
+    RuntimeError from initialize(); the guard must swallow it."""
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    def boom():
+        raise RuntimeError("jax.distributed is already initialized")
+
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        assert mesh_mod.maybe_initialize_distributed(
+            env={"MEGASCALE_COORDINATOR_ADDRESS": "x"},
+            _initialize=boom) is True
+    finally:
+        mesh_mod._dist_initialized = orig

@@ -632,3 +632,125 @@ def test_train_step_with_differentiable_segmental(tmp_path):
     out1 = seg(params2, state2, tx.init(params2), *args, max_label_len=t)
     l_base, l_seg = float(out0[3]["loss"]), float(out1[3]["loss"])
     assert l_seg > l_base  # the soft-IoU term adds a positive component
+
+
+# ---------------------------------------------------------------------------
+# Round-3 scheduler/optimizer breadth (VERDICT Missing #2/#3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,params,torch_ctor", [
+    ("MultiStepLR", {"milestones": [3, 7, 7, 12], "gamma": 0.5},
+     lambda opt: __import__("torch").optim.lr_scheduler.MultiStepLR(
+         opt, milestones=[3, 7, 7, 12], gamma=0.5)),
+    ("CosineAnnealingWarmRestarts", {"T_0": 5, "T_mult": 1, "eta_min": 0.0},
+     lambda opt: __import__("torch").optim.lr_scheduler
+     .CosineAnnealingWarmRestarts(opt, T_0=5, T_mult=1)),
+    ("CosineAnnealingWarmRestarts", {"T_0": 3, "T_mult": 2, "eta_min": 0.1},
+     lambda opt: __import__("torch").optim.lr_scheduler
+     .CosineAnnealingWarmRestarts(opt, T_0=3, T_mult=2, eta_min=0.1)),
+])
+def test_new_scheduler_parity_per_update(name, params, torch_ctor):
+    """Per-update stepping parity vs torch (the reference's fallback lookup
+    reaches torch.optim.lr_scheduler, lr_schedulers.py:22-36)."""
+    import torch
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = torch_ctor(opt)
+    ours = get_scheduler(name, params)
+
+    for step in range(25):
+        assert ours.factor == pytest.approx(opt.param_groups[0]["lr"],
+                                            abs=1e-9), f"step {step}"
+        opt.step()
+        ref.step()
+        ours.step()
+
+
+def test_onecycle_parity_vs_torch():
+    """OneCycleLR factor-of-max_lr parity vs torch for both anneal
+    strategies (torch's lr sequence / max_lr == our factor)."""
+    import torch
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    max_lr = 2.0
+    total = 20
+    for strategy in ("cos", "linear"):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=max_lr)
+        ref = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=max_lr, total_steps=total, pct_start=0.3,
+            anneal_strategy=strategy, div_factor=25.0, final_div_factor=100.0)
+        ours = get_scheduler("OneCycleLR", {
+            "total_steps": total, "pct_start": 0.3,
+            "anneal_strategy": strategy, "div_factor": 25.0,
+            "final_div_factor": 100.0})
+        for step in range(total):
+            assert max_lr * ours.factor == pytest.approx(
+                opt.param_groups[0]["lr"], rel=1e-6), \
+                f"{strategy} step {step}"
+            opt.step()
+            if step < total - 1:
+                ref.step()
+            ours.step()
+        # past total_steps we clamp to the final value instead of raising
+        ours.step()
+        assert max_lr * ours.factor == pytest.approx(
+            opt.param_groups[0]["lr"], rel=1e-6)
+
+
+def test_warm_restarts_jump_matches_torch_epoch_jump():
+    """The validation-path step(global_step) jump must land on torch's
+    step(epoch) schedule (reference train.py:445-449)."""
+    import warnings
+    import torch
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=4, T_mult=2)
+    ours = get_scheduler("CosineAnnealingWarmRestarts",
+                         {"T_0": 4, "T_mult": 2})
+    for step in (2, 4, 6, 11, 28, 100):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref.step(step)
+        ours.step(step)
+        assert ours.factor == pytest.approx(opt.param_groups[0]["lr"],
+                                            abs=1e-9), f"step {step}"
+
+
+def test_broadened_optimizer_catalog_steps():
+    """Every cataloged optimizer builds via make_optimizer (name resolution
+    + signature-filtered kwargs, reference train.py:379-408) and takes a
+    finite step."""
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from wfl_asr_tpu.train.loop import _OPTAX_OPTIMIZERS, make_optimizer
+
+    class FakeCfg:
+        optimizer_params = {"betas": (0.9, 0.99)}
+        weight_decay = None
+        learning_rate = 1e-3
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.1), "b": jnp.full((4,), 0.1)}
+    # pytorch_optimizer / torch.optim spellings resolve case-insensitively
+    for name in ["AdaBelief", "Adan", "NovoGrad", "Yogi", "Lars",
+                 "DAdaptAdamW", "Adadelta", "Rprop", "AMSGrad", "ADOPT"]:
+        cfg = FakeCfg()
+        cfg.optimizer = name
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        up, st = tx.update(grads, st, params)
+        new = optax.apply_updates(params, up)
+        assert np.isfinite(np.asarray(new["w"])).all(), name
+    # unknown names fail with the available list
+    cfg = FakeCfg()
+    cfg.optimizer = "Ranger"
+    with pytest.raises(ValueError) as e:
+        make_optimizer(cfg)
+    assert "adabelief" in str(e.value)

@@ -451,6 +451,8 @@ _SESSION_CACHE: Dict[Tuple[str, str], InferenceSession] = {}
 
 def _get_session(config_path: str, checkpoint_path: str,
                  data_parallel: bool = False) -> InferenceSession:
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed()  # multi-host serving; single-host no-ops
     key = (os.path.abspath(config_path), os.path.abspath(checkpoint_path))
     session = _SESSION_CACHE.get(key)
     # data_parallel is only actionable with >1 device; on a single-device

@@ -52,9 +52,15 @@ def wavlm_arch_from_name(model_name: str) -> WavLMArch:
     if tail in WAVLM_PRESETS:
         return WAVLM_PRESETS[tail]
     for key in ("large", "base-plus", "base"):
+        # Substring match admits the task-suffixed family members that share
+        # the encoder (wavlm-base-plus-sv, wavlm-base-sd, ...).
         if key in tail:
             return WAVLM_PRESETS[key]
-    raise ValueError(f"Unknown wavlm model {model_name!r}")
+    raise ValueError(
+        f"Unknown wavlm model {model_name!r}. Known presets: "
+        f"{sorted(WAVLM_PRESETS)} (plus task-suffixed variants of each). "
+        f"For a custom architecture set model.encoder_arch_overrides in "
+        f"the config (fields of WavLMArch).")
 
 
 @dataclass(frozen=True)

@@ -202,8 +202,13 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
     # keeping intermediate activations in VMEM instead of HBM round-trips.
     split = _fused_tail_start(arch) if arch.use_fused_conv else len(layers)
     if split == 1 and split < len(layers) \
-            and arch.conv_kernel[0] <= 2 * arch.conv_stride[0] \
+            and (arch.conv_kernel[0] <= arch.conv_stride[0]
+                 or arch.conv_kernel[0] == 2 * arch.conv_stride[0]) \
             and arch.feat_extract_norm == "group":
+        # Gate is k0 ≤ s0 or k0 == 2·s0 exactly: for s0 < k0 < 2·s0 the
+        # row-pair view below has floor(S/s0)−1 rows, which can be one
+        # fewer than t0 — such configs (none of the shipped presets) fall
+        # back to the XLA conv path instead of silently truncating.
         # Channels-last fast path: layer 0 (C_in=1) as a windowed matmul
         # emitting [B, T, C] directly (no NCH conv lowering, no 3 GB
         # [B,C,T]→[B,T,C] relayout); GroupNorm *stats* as a fused XLA

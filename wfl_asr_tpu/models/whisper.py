@@ -46,22 +46,43 @@ class WhisperArch:
                    dropout=hf.dropout, activation_dropout=hf.activation_dropout)
 
 
-# Named presets for the public Whisper encoder family (d_model, layers, heads, ffn).
+# Named presets for the public Whisper encoder family (d_model, layers, heads,
+# ffn; num_mel_bins where it differs from 80). The reference accepts ANY HF
+# checkpoint name (model.py:69-71); in this network-less environment the
+# preset table must therefore cover every released encoder variant and
+# *reject loudly* on anything else (unknown names previously fell through to
+# the nearest size and died with a shape error deep in the forward — e.g.
+# large-v3's 128-mel front-end vs the 80-mel "large" preset).
 WHISPER_PRESETS = {
     "tiny": WhisperArch(384, 4, 6, 1536),
     "base": WhisperArch(512, 6, 8, 2048),
     "small": WhisperArch(768, 12, 12, 3072),
     "medium": WhisperArch(1024, 24, 16, 4096),
     "large": WhisperArch(1280, 32, 20, 5120),
+    "large-v1": WhisperArch(1280, 32, 20, 5120),
+    "large-v2": WhisperArch(1280, 32, 20, 5120),
+    # v3 and v3-turbo share the 1280-dim 32-layer encoder with a 128-bin
+    # log-mel front-end (turbo shrinks only the decoder, which this
+    # framework never instantiates).
+    "large-v3": WhisperArch(1280, 32, 20, 5120, num_mel_bins=128),
+    "large-v3-turbo": WhisperArch(1280, 32, 20, 5120, num_mel_bins=128),
+    "turbo": WhisperArch(1280, 32, 20, 5120, num_mel_bins=128),
 }
 
 
 def whisper_arch_from_name(model_name: str) -> WhisperArch:
-    """Map names like "openai/whisper-base" / "whisper-small.en" to presets."""
+    """Map names like "openai/whisper-base" / "whisper-small.en" /
+    "whisper-large-v3-turbo" to presets. Unknown variants raise with the
+    preset list — silently mapping (say) a 128-mel v3 onto the 80-mel
+    "large" preset would fail with an opaque shape error mid-forward."""
     tail = model_name.split("/")[-1].removeprefix("whisper-")
-    size = tail.split(".")[0].split("-")[0]
+    size = tail.split(".")[0]            # drop ".en" language suffix
     if size not in WHISPER_PRESETS:
-        raise ValueError(f"Unknown whisper size in {model_name!r}")
+        raise ValueError(
+            f"Unknown whisper variant {model_name!r}. Known presets: "
+            f"{sorted(WHISPER_PRESETS)}. For a custom architecture set "
+            f"model.encoder_arch_overrides in the config (fields of "
+            f"WhisperArch, e.g. d_model/num_layers/num_mel_bins).")
     return WHISPER_PRESETS[size]
 
 

@@ -8,8 +8,9 @@ round-trips its full [B, T_i, 512] activation through HBM (~95 MB/elem at
 a tile of the final layer's output is produced by streaming the chain's
 input once from HBM and keeping every intermediate activation in VMEM.
 
-Per-layer compute (channels-last, stride 2) reuses the tap-grouped matmul
-trick from ``conv_stack.py``:
+Per-layer compute (channels-last, stride 2) uses a tap-grouped matmul
+(originally prototyped as a single-layer ``conv_stack.py`` kernel, since
+superseded by this chained version and removed):
 
 - reshape ``[2·t+2, C] → [t+1, 2C]`` puts taps 0,1 of each output row in
   contiguous lanes → one MXU matmul against tap-packed ``W01 [2C, C]``;

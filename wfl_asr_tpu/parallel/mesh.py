@@ -21,12 +21,53 @@ should prefer divisible batch sizes to avoid wasted compute).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Environment variables whose presence marks a multi-host/multi-slice launch
+# (SURVEY.md §2 names jax.distributed.initialize as the communication-backend
+# equivalent of the backends the reference never had). JAX's own cluster
+# auto-detection handles the coordinator handshake once we decide to call it.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",        # explicit JAX coordinator
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice (DCN) launches
+    "TPU_WORKER_HOSTNAMES",           # GCE/GKE TPU pod metadata
+    "JAX_PROCESS_COUNT",
+)
+
+_dist_initialized = False
+
+
+def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
+    """Call ``jax.distributed.initialize()`` iff standard cluster env vars
+    are present (multi-host TPU pod / multi-slice launch), exactly once.
+    No-op on single-host runs — the common case in this repository, where
+    only one chip (or a forced-CPU mesh) is visible. Returns True when
+    initialization ran.
+
+    ``env``/``_initialize`` are injectable for unit tests (multi-host can't
+    be integration-tested on a single-chip box)."""
+    global _dist_initialized
+    env = os.environ if env is None else env
+    if _dist_initialized:
+        return False
+    if not any(v in env for v in _CLUSTER_ENV_VARS):
+        return False
+    init = _initialize if _initialize is not None else \
+        jax.distributed.initialize
+    try:
+        init()
+    except RuntimeError:
+        # already initialized by the launcher — that's fine
+        pass
+    _dist_initialized = True
+    return True
 
 
 def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,

@@ -58,12 +58,29 @@ from .schedules import get_scheduler
 # Optimizer factory
 # ---------------------------------------------------------------------------
 
+# Name → optax factory. The reference resolves optimizer names by reflection
+# over ``pytorch_optimizer`` then ``torch.optim`` (train.py:379-408), so the
+# catalog here aliases the common names from BOTH onto their optax
+# equivalents (lookup is case-insensitive; kwargs are signature-filtered the
+# same way the reference filters by ``__init__`` signature).
 _OPTAX_OPTIMIZERS = {
+    # torch.optim family
     "adamw": optax.adamw, "adam": optax.adam, "sgd": optax.sgd,
-    "lion": optax.lion, "adafactor": optax.adafactor,
-    "lamb": optax.lamb, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad, "adadelta": optax.adadelta,
+    "rmsprop": optax.rmsprop, "rprop": optax.rprop,
     "nadam": optax.nadam, "nadamw": optax.nadamw, "radam": optax.radam,
-    "adamax": optax.adamax,
+    "adamax": optax.adamax, "adamaxw": optax.adamaxw,
+    # pytorch_optimizer family
+    "lion": optax.lion, "adafactor": optax.adafactor,
+    "lamb": optax.lamb, "lars": optax.lars,
+    "adabelief": optax.adabelief, "adan": optax.adan,
+    "novograd": optax.novograd, "yogi": optax.yogi,
+    "fromage": optax.fromage, "amsgrad": optax.amsgrad, "sm3": optax.sm3,
+    # (optax.contrib.sophia is excluded: its update needs an obj_fn for the
+    # Hutchinson Hessian estimate, which the standard train step can't feed.)
+    "dadaptadamw": optax.contrib.dadapt_adamw,
+    "ademamix": optax.contrib.ademamix,
+    "adopt": optax.contrib.adopt,
 }
 
 
@@ -315,6 +332,10 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
 
 def train(config_path: str = "config.yaml",
           segmental_metric: bool = True) -> None:
+    # Multi-host launches (TPU pods / multi-slice): join the cluster before
+    # any device query; single-host runs no-op (guard in parallel/mesh.py).
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed()
     cfg = Config.load(config_path)
     save_dir = cfg.save_dir
     os.makedirs(save_dir, exist_ok=True)

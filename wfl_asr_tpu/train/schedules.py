@@ -110,6 +110,88 @@ class LinearLR(Scheduler):
             * t / self.total_iters
 
 
+class MultiStepLR(Scheduler):
+    """torch.optim.lr_scheduler.MultiStepLR: decay by ``gamma`` at each
+    milestone (factor = gamma^(milestones passed))."""
+
+    def __init__(self, milestones, gamma: float = 0.1):
+        self.milestones = sorted(int(m) for m in milestones)
+        self.gamma = gamma
+        super().__init__()
+
+    def get_factor(self) -> float:
+        import bisect
+        return self.gamma ** bisect.bisect_right(self.milestones,
+                                                 self.last_epoch)
+
+
+class CosineAnnealingWarmRestarts(Scheduler):
+    """torch semantics (SGDR): cosine anneal over a cycle of length T_i,
+    restarting with T_i ← T_i·T_mult. Computed statelessly from
+    ``last_epoch`` so both ``step()`` and the loop's ``step(global_step)``
+    jump (train.py:445-449) land on the same schedule."""
+
+    def __init__(self, T_0: int, T_mult: int = 1, eta_min: float = 0.0):
+        if T_0 <= 0:
+            raise ValueError("T_0 must be positive")
+        if T_mult < 1:
+            raise ValueError("T_mult must be >= 1")
+        self.T_0 = T_0
+        self.T_mult = int(T_mult)
+        self.eta_min_ratio = eta_min  # factor floor, like CosineAnnealingLR
+        super().__init__()
+
+    def get_factor(self) -> float:
+        epoch = max(self.last_epoch, 0)
+        if self.T_mult == 1:
+            t_cur, t_i = epoch % self.T_0, self.T_0
+        else:
+            n = int(math.log(epoch / self.T_0 * (self.T_mult - 1) + 1,
+                             self.T_mult))
+            t_cur = epoch - self.T_0 * (self.T_mult ** n - 1) \
+                / (self.T_mult - 1)
+            t_i = self.T_0 * self.T_mult ** n
+        cos = (1 + math.cos(math.pi * t_cur / t_i)) / 2
+        return self.eta_min_ratio + (1.0 - self.eta_min_ratio) * cos
+
+
+class OneCycleLR(Scheduler):
+    """torch's one-cycle policy as a *factor of the peak lr* (the config's
+    ``learning_rate`` plays torch's ``max_lr``): warm up from
+    max_lr/div_factor over ``pct_start`` of ``total_steps``, then anneal to
+    max_lr/div_factor/final_div_factor. ``anneal_strategy``: 'cos' | 'linear'.
+    Steps past total_steps clamp to the final value (torch raises; a
+    clamped tail is safer for max_steps mismatches)."""
+
+    def __init__(self, total_steps: int, pct_start: float = 0.3,
+                 anneal_strategy: str = "cos", div_factor: float = 25.0,
+                 final_div_factor: float = 1e4):
+        if not 0.0 < pct_start < 1.0:
+            raise ValueError("pct_start must be in (0, 1)")
+        if anneal_strategy not in ("cos", "linear"):
+            raise ValueError("anneal_strategy must be 'cos' or 'linear'")
+        self.total_steps = total_steps
+        self.pct_start = pct_start
+        self.anneal_strategy = anneal_strategy
+        self.start_factor = 1.0 / div_factor
+        self.final_factor = 1.0 / (div_factor * final_div_factor)
+        super().__init__()
+
+    def _anneal(self, start: float, end: float, pct: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+        return (end - start) * pct + start
+
+    def get_factor(self) -> float:
+        step = min(max(self.last_epoch, 0), self.total_steps - 1)
+        up_steps = float(self.pct_start * self.total_steps) - 1
+        if step <= up_steps:
+            return self._anneal(self.start_factor, 1.0, step / up_steps)
+        down_steps = self.total_steps - up_steps - 1
+        return self._anneal(1.0, self.final_factor,
+                            (step - up_steps) / down_steps)
+
+
 class ReduceLROnPlateau(Scheduler):
     """torch semantics over the val metric (fed best_loss, train.py:442-443)."""
 
@@ -162,6 +244,9 @@ _REGISTRY: Dict[str, Type[Scheduler]] = {
     "StepLR": StepLR,
     "ExponentialLR": ExponentialLR,
     "CosineAnnealingLR": CosineAnnealingLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
+    "MultiStepLR": MultiStepLR,
+    "OneCycleLR": OneCycleLR,
     "LinearLR": LinearLR,
     "ReduceLROnPlateau": ReduceLROnPlateau,
 }
