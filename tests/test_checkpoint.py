@@ -119,3 +119,119 @@ def test_train_state_sidecar(tmp_path):
     assert_trees_equal(r_opt, opt_state)
 
     assert load_train_state(str(tmp_path / "model_step9.pt"), template) is None
+
+
+# ---------------------------------------------------------------------------
+# Encoder export (round 3: export_tagger previously DROPPED wavlm/whisper
+# encoder weights — trainer-saved checkpoints for those encoders were
+# unloadable)
+# ---------------------------------------------------------------------------
+
+def _wavlm_arch():
+    from wfl_asr_tpu.models.wavlm import WavLMArch
+    wavlm = WavLMArch(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128, conv_dim=(32, 32, 32),
+                      conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+                      num_conv_pos_embeddings=16,
+                      num_conv_pos_embedding_groups=4,
+                      num_buckets=40, max_distance=100)
+    return TaggerArch(encoder_type="wavlm", num_labels=5, num_languages=2,
+                      hidden_size=64, lang_emb_dim=8, enable_bilstm=False,
+                      num_conformer_layers=1, conformer_heads=2,
+                      conformer_ff_expansion=2, conformer_kernel=31,
+                      enable_dilated_conv=False, wavlm=wavlm)
+
+
+def _whisper_arch():
+    from wfl_asr_tpu.models.whisper import WhisperArch
+    whisper = WhisperArch(d_model=64, num_layers=2, num_heads=4,
+                          ffn_dim=128, num_mel_bins=80)
+    return TaggerArch(encoder_type="whisper", num_labels=5, num_languages=2,
+                      hidden_size=64, lang_emb_dim=8, enable_bilstm=True,
+                      bilstm_num_layers=1, num_conformer_layers=1,
+                      conformer_heads=2, conformer_ff_expansion=2,
+                      conformer_kernel=31, enable_dilated_conv=True,
+                      dilated_depth=1, dilated_kernel=3, whisper=whisper)
+
+
+@pytest.mark.parametrize("mk", [_wavlm_arch, _whisper_arch])
+def test_encoder_roundtrip(tmp_path, mk):
+    arch = mk()
+    params, state = init_tagger(jax.random.PRNGKey(1), arch)
+    path = str(tmp_path / "model_step5.pt")
+    save_model_checkpoint(path, params, state, arch)
+    p2, s2 = load_model_checkpoint(path, arch)
+    assert "encoder" in p2
+    assert_trees_equal(params, p2)
+    assert_trees_equal(state, s2)
+
+
+def test_export_wavlm_strict_loads_into_hf():
+    """export_wavlm's keys must be EXACTLY an HF WavLMModel state_dict
+    (strict load) and reproduce the same outputs — checkpoint interop with
+    the reference, which holds the HF module as self.encoder
+    (model.py:80)."""
+    import torch
+    from transformers.models.wavlm.configuration_wavlm import WavLMConfig
+    from transformers import WavLMModel
+    from wfl_asr_tpu.models.convert import export_wavlm
+    from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+
+    arch = _wavlm_arch().wavlm
+    params = init_wavlm(jax.random.PRNGKey(2), arch)
+    sd = {k: torch.tensor(v) for k, v in export_wavlm(params, arch).items()}
+
+    hf_cfg = WavLMConfig(
+        hidden_size=arch.hidden_size, num_hidden_layers=arch.num_layers,
+        num_attention_heads=arch.num_heads,
+        intermediate_size=arch.intermediate_size,
+        conv_dim=list(arch.conv_dim), conv_kernel=list(arch.conv_kernel),
+        conv_stride=list(arch.conv_stride), conv_bias=arch.conv_bias,
+        feat_extract_norm=arch.feat_extract_norm,
+        num_conv_pos_embeddings=arch.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=arch.num_conv_pos_embedding_groups,
+        num_buckets=arch.num_buckets, max_bucket_distance=arch.max_distance,
+        do_stable_layer_norm=arch.do_stable_layer_norm,
+        apply_spec_augment=False, mask_time_prob=0.0, mask_feature_prob=0.0,
+        layerdrop=0.0, hidden_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0)
+    model = WavLMModel(hf_cfg).eval()
+    model.load_state_dict(sd, strict=True)
+
+    rng = np.random.RandomState(1)
+    audio = rng.randn(2, 3200).astype(np.float32) * 0.5
+    import torch as _torch
+    with _torch.no_grad():
+        ref = model(_torch.tensor(audio)).last_hidden_state.numpy()
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(wavlm_encode(params, arch, jnp.asarray(audio)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_export_whisper_strict_loads_into_hf():
+    import torch
+    from transformers import WhisperConfig, WhisperModel
+    from wfl_asr_tpu.models.convert import export_whisper_encoder
+    from wfl_asr_tpu.models.whisper import (init_whisper_encoder,
+                                            whisper_encode)
+
+    arch = _whisper_arch().whisper
+    params = init_whisper_encoder(jax.random.PRNGKey(3), arch)
+    sd = {k: torch.tensor(v)
+          for k, v in export_whisper_encoder(params).items()}
+
+    hf_cfg = WhisperConfig(
+        d_model=arch.d_model, encoder_layers=arch.num_layers,
+        encoder_attention_heads=arch.num_heads, encoder_ffn_dim=arch.ffn_dim,
+        num_mel_bins=arch.num_mel_bins, max_source_positions=1500,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=64)
+    enc = WhisperModel(hf_cfg).eval().encoder
+    enc.load_state_dict(sd, strict=True)
+
+    feats = np.random.RandomState(2).randn(1, 80, 3000).astype(np.float32)
+    with torch.no_grad():
+        ref = enc(torch.tensor(feats)).last_hidden_state.numpy()
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(whisper_encode(params, arch, jnp.asarray(feats)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)

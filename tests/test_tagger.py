@@ -210,8 +210,7 @@ def test_tagger_export_roundtrip(reference_tagger_module):
     torch.manual_seed(9)
     ref = ref_model.BIOPhonemeTagger(config, labels).eval()
     sd = {k: v for k, v in ref.state_dict().items()
-          if "num_batches_tracked" not in k
-          and not k.startswith("mel_extractor.")}  # test shim's buffer
+          if not k.startswith("mel_extractor.")}  # test shim's buffer
 
     arch = _our_arch(config, "none", whisper_cfg, wavlm_cfg, len(labels))
     params, state = convert_tagger(sd, arch)

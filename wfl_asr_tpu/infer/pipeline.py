@@ -50,16 +50,16 @@ BUCKET_SECONDS = 1.0           # static-shape compile granularity
 
 
 @functools.partial(jax.jit, static_argnames=("arch", "masked", "precentered",
-                                             "compute_dtype"))
+                                             "compute_dtype", "mesh"))
 def _forward_impl(params, state, arch, audio, lang_ids, sample_mask,
                   frame_mask, pos_bias, masked: bool, precentered: bool,
-                  compute_dtype):
+                  compute_dtype, mesh=None):
     logits, offsets, _ = apply_tagger(
         params, state, arch, audio, lang_ids,
         sample_mask=sample_mask if masked else None,
         frame_mask=frame_mask if masked else None,
         precentered=precentered, compute_dtype=compute_dtype,
-        precomputed_pos_bias=pos_bias)
+        precomputed_pos_bias=pos_bias, mesh=mesh)
     return logits, offsets
 
 
@@ -86,10 +86,11 @@ class InferenceSession:
         self.merge_map = load_phoneme_merge_map(
             os.path.join(save_dir, "phoneme_merge_map.json"))
         self.arch = arch or TaggerArch.from_config(self.cfg, len(self.label_list))
-        # Pallas kernels on a single TPU chip; a mesh (multi-chip DP
-        # serving) runs the pure-XLA graph — Pallas custom calls are not
-        # GSPMD-partitionable.
-        if jax.devices()[0].platform == "tpu" and mesh is None:
+        # Pallas kernels on TPU — single chip or mesh: under a mesh the
+        # kernels run per-shard via shard_map (rows on 'data'), so DP
+        # serving keeps the flash/fused-conv speedups instead of falling
+        # back to the pure-XLA graph.
+        if jax.devices()[0].platform == "tpu":
             import dataclasses
             self.arch = dataclasses.replace(self.arch,
                                             use_flash_attention=True)
@@ -116,7 +117,15 @@ class InferenceSession:
             self.state = jax.device_put(state)
         self.compute_dtype = compute_dtype
         self.sr = self.cfg.sample_rate
-        self._pos_bias_cache: Dict[int, jnp.ndarray] = {}
+        # Position-bias store: ONE buffer at the largest bucket length seen
+        # (the T5-style bucket depends only on k−q, so every shorter
+        # length's bias is the leading [:t,:t] submatrix — no per-length
+        # cache). Stored at the serving dtype (bf16 halves it: 108→54 MB at
+        # T=1499 for wavlm-base). Replaces the r2 unbounded per-length dict
+        # that could pin >1 GB of HBM across a varied-duration folder.
+        self._pos_bias_full: Optional[jnp.ndarray] = None
+        self._pos_bias_len = 0
+        self._pos_bias_slice: Tuple[int, Optional[jnp.ndarray]] = (0, None)
 
     # -- compiled forward ---------------------------------------------------
 
@@ -125,7 +134,7 @@ class InferenceSession:
         return _forward_impl(self.params, self.state, self.arch,
                              audio, lang_ids, sample_mask, frame_mask,
                              self._pos_bias_for(t_pad), masked, precentered,
-                             self.compute_dtype)
+                             self.compute_dtype, mesh=self.mesh)
 
     def _put(self, x) -> jnp.ndarray:
         """Device-put a batch array; with a mesh, shard rows on 'data'."""
@@ -144,17 +153,34 @@ class InferenceSession:
         return ((n + d - 1) // d) * d
 
     def _pos_bias_for(self, t_pad: int):
-        """Per-bucket-length precomputed WavLM position bias (params are
-        fixed at inference, so the [T,T] bucket gather runs once per length
-        instead of in every forward)."""
+        """Precomputed WavLM position bias for a bucket length (params are
+        fixed at inference, so the [T,T] bucket gather runs once instead of
+        in every forward). Bounded: one full-size buffer at the max length
+        seen, plus at most one sliced view for the current shorter length
+        (`warmup([30.0])` pins the max up front)."""
         if self.arch.encoder_type != "wavlm":
             return None
-        if t_pad not in self._pos_bias_cache:
+        if t_pad > self._pos_bias_len:
             from ..models.wavlm import position_bias
-            self._pos_bias_cache[t_pad] = jax.jit(
+            bias = jax.jit(
                 position_bias, static_argnames=("arch", "length"))(
                     self.params["encoder"], self.arch.wavlm, t_pad)
-        return self._pos_bias_cache[t_pad]
+            if self.compute_dtype == jnp.bfloat16:
+                # the flash kernel streams bias at the activation dtype
+                # anyway (_prep_inputs); storing bf16 also removes the
+                # per-call f32→bf16 cast copy
+                bias = bias.astype(jnp.bfloat16)
+            self._pos_bias_full = jax.device_put(bias)
+            self._pos_bias_len = t_pad
+            self._pos_bias_slice = (0, None)
+        if t_pad == self._pos_bias_len:
+            return self._pos_bias_full
+        if self._pos_bias_slice[0] != t_pad:
+            # leading-submatrix property: bias(t) == bias(T_max)[:, :t, :t]
+            # slicing outside jit materializes a fresh device array
+            self._pos_bias_slice = (
+                t_pad, self._pos_bias_full[:, :t_pad, :t_pad])
+        return self._pos_bias_slice[1]
 
     def num_frames_for(self, num_samples: int) -> int:
         """Frame count the reference model would emit for this exact length

@@ -235,10 +235,107 @@ def convert_tagger(sd: Dict, arch) -> tuple:
     return params, {"conformer": conformer_states}
 
 
+def export_wavlm(params, arch) -> Dict:
+    """Inverse of ``convert_wavlm``: pytree → HF ``WavLMModel`` state_dict
+    keys (numpy values). The pos-conv weight-norm is reconstructed as
+    original1 = folded weight, original0 = its per-kernel-position norm —
+    folding back reproduces the weight exactly."""
+    out: Dict = {}
+
+    def put_linear(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    for i, layer in enumerate(params["feature_encoder"]):
+        pre = f"feature_extractor.conv_layers.{i}"
+        out[f"{pre}.conv.weight"] = np.asarray(layer["conv"]["w"])
+        if "b" in layer["conv"]:
+            out[f"{pre}.conv.bias"] = np.asarray(layer["conv"]["b"])
+        if "norm" in layer:
+            put_ln(f"{pre}.layer_norm", layer["norm"])
+    put_ln("feature_projection.layer_norm", params["feature_projection"]["ln"])
+    put_linear("feature_projection.projection",
+               params["feature_projection"]["proj"])
+
+    w = np.asarray(params["pos_conv"]["w"])
+    out["encoder.pos_conv_embed.conv.parametrizations.weight.original0"] = \
+        np.sqrt((w ** 2).sum(axis=(0, 1), keepdims=True))
+    out["encoder.pos_conv_embed.conv.parametrizations.weight.original1"] = w
+    if "b" in params["pos_conv"]:
+        out["encoder.pos_conv_embed.conv.bias"] = \
+            np.asarray(params["pos_conv"]["b"])
+    put_ln("encoder.layer_norm", params["encoder_ln"])
+
+    rel = np.asarray(params["rel_attn_embed"]["w"])
+    for i, layer in enumerate(params["layers"]):
+        pre = f"encoder.layers.{i}"
+        if i == 0:
+            # HF stores the shared bucket table on layer 0 only
+            out[f"{pre}.attention.rel_attn_embed.weight"] = rel
+        put_linear(f"{pre}.attention.q_proj", layer["q"])
+        put_linear(f"{pre}.attention.k_proj", layer["k"])
+        put_linear(f"{pre}.attention.v_proj", layer["v"])
+        put_linear(f"{pre}.attention.out_proj", layer["out"])
+        out[f"{pre}.attention.gru_rel_pos_const"] = \
+            np.asarray(layer["gru_gate_const"]).reshape(1, -1, 1, 1)
+        put_linear(f"{pre}.attention.gru_rel_pos_linear", layer["gru_gate"])
+        put_ln(f"{pre}.layer_norm", layer["attn_ln"])
+        put_linear(f"{pre}.feed_forward.intermediate_dense", layer["ff_in"])
+        put_linear(f"{pre}.feed_forward.output_dense", layer["ff_out"])
+        put_ln(f"{pre}.final_layer_norm", layer["final_ln"])
+    return out
+
+
+def export_whisper_encoder(params) -> Dict:
+    """Inverse of ``convert_whisper_encoder``: pytree → bare HF
+    ``WhisperEncoder`` state_dict keys (numpy values)."""
+    out: Dict = {}
+
+    def put_linear(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    for name in ("conv1", "conv2"):
+        out[f"{name}.weight"] = np.asarray(params[name]["w"])
+        if "b" in params[name]:
+            out[f"{name}.bias"] = np.asarray(params[name]["b"])
+    out["embed_positions.weight"] = np.asarray(params["embed_positions"])
+    put_ln("layer_norm", params["ln_post"])
+    for i, layer in enumerate(params["layers"]):
+        pre = f"layers.{i}"
+        put_ln(f"{pre}.self_attn_layer_norm", layer["attn_ln"])
+        put_linear(f"{pre}.self_attn.q_proj", layer["q"])
+        put_linear(f"{pre}.self_attn.k_proj", layer["k"])
+        put_linear(f"{pre}.self_attn.v_proj", layer["v"])
+        put_linear(f"{pre}.self_attn.out_proj", layer["out"])
+        put_ln(f"{pre}.final_layer_norm", layer["final_ln"])
+        put_linear(f"{pre}.fc1", layer["ff_in"])
+        put_linear(f"{pre}.fc2", layer["ff_out"])
+    return out
+
+
 def export_tagger(params, state, arch) -> Dict:
     """Inverse of ``convert_tagger``: our pytrees → a reference-compatible
-    torch state_dict (numpy values; caller wraps in torch tensors)."""
+    torch state_dict (numpy values; caller wraps in torch tensors). The
+    encoder is exported under the reference's ``encoder.`` prefix
+    (model.py:70/80 keeps the HF module as ``self.encoder``)."""
     out: Dict = {}
+    if arch.encoder_type == "wavlm" and "encoder" in params:
+        for k, v in export_wavlm(params["encoder"], arch.wavlm).items():
+            out[f"encoder.{k}"] = v
+    elif arch.encoder_type == "whisper" and "encoder" in params:
+        for k, v in export_whisper_encoder(params["encoder"]).items():
+            out[f"encoder.{k}"] = v
 
     def put_linear(prefix, p):
         out[f"{prefix}.weight"] = np.asarray(p["w"]).T
@@ -282,6 +379,10 @@ def export_tagger(params, state, arch) -> Dict:
         out[f"{pre}.conv.3.bias"] = np.asarray(p["bn"]["bias"])
         out[f"{pre}.conv.3.running_mean"] = np.asarray(s["bn"]["mean"])
         out[f"{pre}.conv.3.running_var"] = np.asarray(s["bn"]["var"])
+        # torch BatchNorm1d state: required for the reference's strict
+        # load (infer.py:205-208); the count itself only matters for
+        # momentum=None BN, which the reference never configures.
+        out[f"{pre}.conv.3.num_batches_tracked"] = np.asarray(0, np.int64)
         put_conv(f"{pre}.conv.5", p["conv_pw2"])
     if "dilated" in params:
         for j, p in enumerate(params["dilated"]):

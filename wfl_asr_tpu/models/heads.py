@@ -208,7 +208,7 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
                     conv_kernel: int, drop_rate: float, rngs,
                     deterministic: bool, train: bool,
                     mask: Optional[jnp.ndarray] = None,
-                    use_flash: bool = False):
+                    use_flash: bool = False, mesh=None):
     """Macaron FF halves, post-LN MHSA, conv module with **full** k-wide conv
     + BatchNorm, no final LayerNorm (reference model.py:40-52). Returns
     (y, new_state).
@@ -237,7 +237,7 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
         from ..ops.pallas.flash_attention_bwd import flash_attention_trainable
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
-        attn = flash_attention_trainable(q, k, v, kv_len)
+        attn = flash_attention_trainable(q, k, v, kv_len, mesh=mesh)
     else:
         attn = attention_core(q, k, v, mask=mask)
     attn = linear(params["attn_out"],

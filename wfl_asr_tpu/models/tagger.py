@@ -187,7 +187,7 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            compute_dtype=jnp.float32,
            sample_mask=None, frame_mask=None,
            precentered: bool = False,
-           precomputed_pos_bias=None) -> jnp.ndarray:
+           precomputed_pos_bias=None, mesh=None) -> jnp.ndarray:
     """Front-end + encoder → hidden states [B, T_enc, H], all on device.
 
     ``sample_mask``/``frame_mask``/``precentered`` support bucket-padded
@@ -198,7 +198,7 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
         feats = whisper_log_mel(audio, n_mels=arch.whisper.num_mel_bins)
         return whisper_encode(params["encoder"], arch.whisper, feats,
                               rng=rng, deterministic=deterministic,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, mesh=mesh)
     if arch.encoder_type == "wavlm":
         if sample_mask is not None:
             normed = wav2vec2_normalize_masked(audio, sample_mask)
@@ -208,7 +208,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
                             mask=frame_mask, sample_mask=sample_mask,
                             rng=rng, deterministic=deterministic,
                             compute_dtype=compute_dtype,
-                            precomputed_pos_bias=precomputed_pos_bias)
+                            precomputed_pos_bias=precomputed_pos_bias,
+                            mesh=mesh)
     # encoder_type "none": mel features are the hidden states (model.py:149-150)
     hop = int(arch.frame_duration * arch.sample_rate)
     return mel_spectrogram(audio, arch.sample_rate, 400, hop, arch.n_mels,
@@ -233,8 +234,13 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                  compute_dtype=jnp.float32,
                  sample_mask=None, frame_mask=None,
                  precentered: bool = False,
-                 precomputed_pos_bias=None):
+                 precomputed_pos_bias=None, mesh=None):
     """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
+
+    ``mesh``: a ('data','model') jax.sharding.Mesh — the Pallas kernels
+    (flash attention, fused conv chains) run per-shard under shard_map
+    instead of being disabled; the rest of the graph stays GSPMD-partitioned
+    (global BatchNorm statistics, automatic gradient psums, Megatron TP).
 
     ``max_label_len`` must be a static int (padded-bucket batching);
     ``train`` toggles dropout + BatchNorm batch statistics.
@@ -258,7 +264,7 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                     deterministic=deterministic, compute_dtype=compute_dtype,
                     sample_mask=sample_mask, frame_mask=frame_mask,
                     precentered=precentered,
-                    precomputed_pos_bias=precomputed_pos_bias)
+                    precomputed_pos_bias=precomputed_pos_bias, mesh=mesh)
     if arch.freeze_encoder:
         hidden = jax.lax.stop_gradient(hidden)
 
@@ -282,7 +288,8 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                                     arch.conformer_dropout, rngs,
                                     deterministic=deterministic, train=train,
                                     mask=frame_mask,
-                                    use_flash=arch.use_flash_attention)
+                                    use_flash=arch.use_flash_attention,
+                                    mesh=mesh)
         new_conformer_states.append(ns)
 
     if arch.enable_dilated_conv:

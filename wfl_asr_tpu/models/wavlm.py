@@ -186,7 +186,8 @@ def position_bias(params, arch: WavLMArch, length: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
-                    sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    sample_mask: Optional[jnp.ndarray] = None,
+                    mesh=None) -> jnp.ndarray:
     """Raw audio [B, S] → conv features [B, T, C].
 
     ``sample_mask`` [B, S] (bucketed inference): GroupNorm statistics are
@@ -224,7 +225,8 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
         inv = jax.lax.rsqrt(var + 1e-5)
         norm = (mean, inv, layers[0]["norm"]["scale"],
                 layers[0]["norm"]["bias"])
-        return _fused_tail(params, arch, x, split, input_norm=norm)
+        return _fused_tail(params, arch, x, split, input_norm=norm,
+                           mesh=mesh)
 
     x = audio[:, None, :]                                    # [B, 1, S]
     for i, layer in enumerate(layers[:split]):
@@ -249,7 +251,7 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
                     layer_norm(layer["norm"], jnp.swapaxes(x, 1, 2)), 1, 2)
         x = gelu(x)
     x = jnp.swapaxes(x, 1, 2)                                # [B, T, C]
-    return _fused_tail(params, arch, x, split)
+    return _fused_tail(params, arch, x, split, mesh=mesh)
 
 
 def _conv0_windowed(layer, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
@@ -276,7 +278,7 @@ def _conv0_windowed(layer, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_tail(params, arch: WavLMArch, x: jnp.ndarray, split: int,
-                input_norm=None) -> jnp.ndarray:
+                input_norm=None, mesh=None) -> jnp.ndarray:
     """Run conv layers [split:] as fused Pallas chains on [B, T, C].
     ``input_norm`` (layer-0 GroupNorm stats) is applied inside the first
     chain's streaming pass."""
@@ -290,7 +292,7 @@ def _fused_tail(params, arch: WavLMArch, x: jnp.ndarray, split: int,
         for g in range(split, len(layers), MAX_CHAIN):
             ws = [layer["conv"]["w"]
                   for layer in layers[g: g + MAX_CHAIN]]
-            x = fused_conv_chain(x, ws, input_norm=input_norm)
+            x = fused_conv_chain(x, ws, input_norm=input_norm, mesh=mesh)
             input_norm = None
     return x
 
@@ -341,7 +343,7 @@ def _gated_bias(layer, arch: WavLMArch, x: jnp.ndarray,
 
 
 def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
-            mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+            mask: Optional[jnp.ndarray], mesh=None) -> jnp.ndarray:
     """Gated-relative-bias attention: Pallas flash path (streams the shared
     [H,T,T] bias from HBM, no [B,H,T,T] materialization) or the XLA path."""
     b, t, H = x.shape
@@ -371,7 +373,7 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
         attn = flash_attention(q, k, v, bias=pos_bias, gate=gate,
-                               kv_len=kv_len)
+                               kv_len=kv_len, mesh=mesh)
     else:
         gated = _gated_bias(layer, arch, x, pos_bias)
         attn = attention_core(q, k, v, bias=gated, mask=mask)
@@ -381,8 +383,9 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
 def encoder_layer(layer, arch: WavLMArch, x: jnp.ndarray,
                   pos_bias: jnp.ndarray,
                   mask: Optional[jnp.ndarray] = None,
-                  rngs=None, deterministic: bool = True) -> jnp.ndarray:
-    attn = _attend(layer, arch, x, pos_bias, mask)
+                  rngs=None, deterministic: bool = True,
+                  mesh=None) -> jnp.ndarray:
+    attn = _attend(layer, arch, x, pos_bias, mask, mesh=mesh)
 
     if not deterministic:
         attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
@@ -407,11 +410,12 @@ def encoder_layer(layer, arch: WavLMArch, x: jnp.ndarray,
 def encoder_layer_stable_ln(layer, arch: WavLMArch, x: jnp.ndarray,
                             pos_bias: jnp.ndarray,
                             mask: Optional[jnp.ndarray] = None,
-                            rngs=None, deterministic: bool = True) -> jnp.ndarray:
+                            rngs=None, deterministic: bool = True,
+                            mesh=None) -> jnp.ndarray:
     """Pre-LN layer flavor (``do_stable_layer_norm=True``, wavlm-large)."""
     residual = x
     xn = layer_norm(layer["attn_ln"], x, arch.layer_norm_eps)
-    attn = _attend(layer, arch, xn, pos_bias, mask)
+    attn = _attend(layer, arch, xn, pos_bias, mask, mesh=mesh)
     if not deterministic:
         attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
     x = residual + attn
@@ -441,8 +445,8 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                  rng: Optional[jax.Array] = None,
                  deterministic: bool = True,
                  compute_dtype=jnp.float32,
-                 precomputed_pos_bias: Optional[jnp.ndarray] = None
-                 ) -> jnp.ndarray:
+                 precomputed_pos_bias: Optional[jnp.ndarray] = None,
+                 mesh=None) -> jnp.ndarray:
     """Full WavLM encoder: raw (normalized) audio [B, S] → [B, T, H].
 
     Equivalent to HF ``WavLMModel.forward(...).last_hidden_state`` with
@@ -453,7 +457,8 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
     rngs = _RngStream(rng) if rng is not None else None
     audio = audio.astype(compute_dtype)
 
-    feats = feature_encoder(params, arch, audio, sample_mask=sample_mask)
+    feats = feature_encoder(params, arch, audio, sample_mask=sample_mask,
+                            mesh=mesh)
     x = layer_norm(params["feature_projection"]["ln"], feats,
                    arch.layer_norm_eps)
     x = linear(params["feature_projection"]["proj"], x)
@@ -482,7 +487,7 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                 else encoder_layer)
     for layer in params["layers"]:
         x = layer_fn(layer, arch, x, pos_bias, mask=mask, rngs=rngs,
-                     deterministic=deterministic)
+                     deterministic=deterministic, mesh=mesh)
 
     if arch.do_stable_layer_norm:
         x = layer_norm(params["encoder_ln"], x, arch.layer_norm_eps)

@@ -132,7 +132,7 @@ class _RngStream:
 def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
                    rng: Optional[jax.Array] = None,
                    deterministic: bool = True,
-                   compute_dtype=jnp.float32) -> jnp.ndarray:
+                   compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
     """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D]."""
     rngs = _RngStream(rng) if rng is not None else None
     x = input_features.astype(compute_dtype)
@@ -159,7 +159,7 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
             # differentiable Pallas kernel — used in training and inference
             from ..ops.pallas.flash_attention_bwd import \
                 flash_attention_trainable
-            attn = flash_attention_trainable(q, k, v)
+            attn = flash_attention_trainable(q, k, v, mesh=mesh)
         else:
             attn = attention_core(q, k, v)
         attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))

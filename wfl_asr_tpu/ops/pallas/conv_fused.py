@@ -109,10 +109,10 @@ def _kernel(x_ref, halo_ref, mean_ref, inv_ref, scale_ref, bias_ref,
     out_ref[0] = cur
 
 
-@functools.partial(jax.jit, static_argnames=("tile_out",))
+@functools.partial(jax.jit, static_argnames=("tile_out", "mesh"))
 def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                      tile_out: int = DEFAULT_TILE,
-                     input_norm=None) -> jnp.ndarray:
+                     input_norm=None, mesh=None) -> jnp.ndarray:
     """Fused chain of stride-2 VALID Conv1d(+GELU) layers.
 
     x: [B, T, C] channels-last; weights: per layer [C, C, k] (torch
@@ -123,7 +123,25 @@ def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     applies per-(batch,channel) normalization + GELU to the *input* inside
     the kernel (the WavLM layer-0 GroupNorm application fused into the
     first chain's streaming pass).
+
+    ``mesh``: run per-shard under shard_map over a ('data','model') mesh —
+    batch rows on 'data', weights/scale/bias replicated (the conv chain is
+    per-sample independent, so DP sharding is exact).
     """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+        from .flash_attention import shard_wrap
+        core = lambda x_, w_, n_: _fused_conv_impl(x_, w_, n_, tile_out)
+        row = P("data", None)
+        fn = shard_wrap(core, mesh, per_arg_specs=(
+            P("data", None, None), P(),
+            (row, row, P(), P()) if input_norm is not None else None),
+            out_spec=P("data", None, None))
+        return fn(x, list(weights), input_norm)
+    return _fused_conv_impl(x, list(weights), input_norm, tile_out)
+
+
+def _fused_conv_impl(x, weights, input_norm, tile_out: int) -> jnp.ndarray:
     b, t_in, c = x.shape
     ks = [int(w.shape[2]) for w in weights]
     for w in weights:

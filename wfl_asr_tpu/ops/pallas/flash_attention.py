@@ -512,10 +512,13 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
     # (768×full-row) overflow VMEM here — measured 18.75 MB at bf16
     # B=8×30 s with bias, and full-row bwd k blocks OOM at 19.3 MB. Clamp
     # to measured-safe divisor-aligned blocks in every case (bias or not);
-    # the saved lse is re-padded to the bwd padding.
+    # the saved lse is re-padded to the bwd padding. WFL_FLASH_BWD_BQ/BK
+    # override the caps for tile sweeps (scripts/ablate_flash_bwd.py).
     t_pad = -(-t // 128) * 128
     bk_cap = 256 if (bias is not None and q.dtype != jnp.bfloat16) else 512
-    block_q = divisor_block(min(block_q, 256), 8, t_pad)
+    bq_cap = int(os.environ.get("WFL_FLASH_BWD_BQ", "256"))
+    bk_cap = int(os.environ.get("WFL_FLASH_BWD_BK", str(bk_cap)))
+    block_q = divisor_block(min(block_q, bq_cap), 8, t_pad)
     block_k = divisor_block(min(block_k, bk_cap), 128, t_pad)
     dq, dk, dv, dbias, dgate = _bwd_impl(
         q, k, v, bias, gate, kv_len, out, lse[:, :, :t], g,
@@ -526,17 +529,43 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
 _flash_core.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def shard_wrap(core, mesh, per_arg_specs, out_spec=None):
+    """Wrap a Pallas kernel entry point in ``jax.shard_map`` over a
+    ('data', 'model') mesh so each device runs the kernel on its local
+    shard (Pallas custom calls are not GSPMD-partitionable — without this,
+    any mesh had to fall back to pure-XLA graphs).
+
+    ``per_arg_specs``: PartitionSpec (or pytree of specs) per positional
+    arg; None entries (optional operands that are absent) get an inert
+    P(). ``out_spec`` defaults to the first arg's spec. Replicated inputs
+    (e.g. the shared position bias under pure DP) get their cotangents
+    psum'd across the mesh automatically by shard_map's AD, which is what
+    makes dBias/dGate correct under DP.
+    """
+    from jax.sharding import PartitionSpec  # local: keep module import-light
+    specs = tuple(PartitionSpec() if s is None else s for s in per_arg_specs)
+    return jax.shard_map(core, mesh=mesh, in_specs=specs,
+                         out_specs=specs[0] if out_spec is None else out_spec,
+                         check_vma=False)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "mesh"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     gate: Optional[jnp.ndarray] = None,
                     kv_len: Optional[jnp.ndarray] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_k: int = DEFAULT_BLOCK_K,
+                    mesh=None) -> jnp.ndarray:
     """q, k, v: [B, H, T, D] → [B, H, T, D]. Differentiable.
 
     bias: [H, T, T] (shared over batch) or None; gate: [B, H, T] or None
     (requires bias); kv_len: [B] valid key count (None = T).
+
+    ``mesh``: a ('data','model') ``jax.sharding.Mesh`` — the kernel runs
+    per-shard under shard_map (batch on 'data'; heads, and the bias's head
+    dim, on 'model' when the mesh has a model axis), bit-identical to the
+    unsharded call. B must divide the data axis; H the model axis.
     """
     t = q.shape[2]
     if gate is not None and bias is None:
@@ -560,4 +589,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     t_pad = -(-t // 128) * 128
     block_q = divisor_block(block_q, 8, t_pad)
     block_k = divisor_block(block_k, 128, t_pad)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+        hax = "model" if mesh.shape.get("model", 1) > 1 else None
+        core = lambda q_, k_, v_, b_, g_, l_: _flash_core(
+            q_, k_, v_, b_, g_, l_, block_q, block_k)
+        fn = shard_wrap(
+            core, mesh, per_arg_specs=(
+                P("data", hax, None, None), P("data", hax, None, None),
+                P("data", hax, None, None),
+                P(hax, None, None) if bias is not None else None,
+                P("data", hax, None) if gate is not None else None,
+                P("data") if kv_len is not None else None))
+        return fn(q, k, v, bias, gate, kv_len)
     return _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k)

@@ -205,8 +205,13 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
 
 def flash_attention_trainable(q, k, v, kv_len=None,
                               block_q: Optional[int] = None,
-                              block_k: Optional[int] = None):
+                              block_k: Optional[int] = None,
+                              mesh=None):
     """Differentiable fused attention (no bias). q/k/v: [B,H,T,D].
+
+    ``mesh``: run the kernels per-shard under shard_map over a
+    ('data','model') mesh (batch on 'data', heads on 'model') —
+    see flash_attention.shard_wrap.
 
     Defaults are the serving-sweep optimum shared with flash_attention
     (full-row k blocks = single-pass softmax, wide q tiles). Blocks shrink
@@ -230,6 +235,17 @@ def flash_attention_trainable(q, k, v, kv_len=None,
     t_pad = -(-t // 128) * 128
     block_q = divisor_block(block_q, 8, t_pad)
     block_k = divisor_block(block_k, 128, t_pad)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+        from .flash_attention import shard_wrap
+        hax = "model" if mesh.shape.get("model", 1) > 1 else None
+        core = lambda q_, k_, v_, l_: _flash_trainable_core(
+            q_, k_, v_, l_, block_q, block_k)
+        fn = shard_wrap(core, mesh, per_arg_specs=(
+            P("data", hax, None, None), P("data", hax, None, None),
+            P("data", hax, None, None),
+            P("data") if kv_len is not None else None))
+        return fn(q, k, v, kv_len)
     return _flash_trainable_core(q, k, v, kv_len, block_q, block_k)
 
 
@@ -257,8 +273,11 @@ def _vjp_bwd(block_q, block_k, residuals, g):
         block_q = divisor_block(min(block_q, 128), 8, t_pad128)
         block_k = divisor_block(min(block_k, 128), 128, t_pad128)
     else:
-        block_q = divisor_block(min(block_q, 256), 8, t_pad128)
-        block_k = divisor_block(min(block_k, 512), 128, t_pad128)
+        import os
+        bq_cap = int(os.environ.get("WFL_FLASH_BWD_BQ", "256"))
+        bk_cap = int(os.environ.get("WFL_FLASH_BWD_BK", "512"))
+        block_q = divisor_block(min(block_q, bq_cap), 8, t_pad128)
+        block_k = divisor_block(min(block_k, bk_cap), 128, t_pad128)
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
     lse = jnp.pad(lse[:, :, :t], pad)

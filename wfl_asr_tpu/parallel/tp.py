@@ -16,10 +16,10 @@ module supplies the Megatron-style parameter shardings that activate it:
 No model code changes: semantics are identical (GSPMD partitions the same
 graph and inserts collectives over ICI), so this composes with the jitted
 train step and the DP batch sharding. Constraints: attention heads and FFN
-width must divide the ``model`` axis size; the Pallas flash kernels are
-not auto-partitionable, so TP runs with the XLA attention path
-(`use_flash_attention=False`) — fusing flash under shard_map is future
-work.
+width must divide the ``model`` axis size. The Pallas flash kernels run
+under TP too: they are shard_map-wrapped per shard with heads (and the
+bias's head dim) on 'model' (ops/pallas/flash_attention.shard_wrap), so
+TP keeps the fused-attention speedups.
 """
 
 from __future__ import annotations

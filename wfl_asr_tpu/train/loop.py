@@ -141,7 +141,7 @@ def encoder_freeze_mask(params):
 def make_train_step(arch: TaggerArch, label_smoothing: float,
                     subframe_weight: float, tx,
                     compute_dtype=jnp.float32,
-                    seg_diff_weight: float = 0.0):
+                    seg_diff_weight: float = 0.0, mesh=None):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -151,7 +151,7 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
             logits, offsets, new_state = apply_tagger(
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, mesh=mesh)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -173,13 +173,13 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
     return train_step
 
 
-def make_eval_step(arch: TaggerArch, label_smoothing: float):
+def make_eval_step(arch: TaggerArch, label_smoothing: float, mesh=None):
     @functools.partial(jax.jit, static_argnames=("max_label_len",))
     def eval_step(params, model_state, audio, labels, lang_ids,
                   max_label_len: int):
         logits, offsets, _ = apply_tagger(
             params, model_state, arch, audio, lang_ids,
-            max_label_len=max_label_len, train=False)
+            max_label_len=max_label_len, train=False, mesh=mesh)
         ce = cross_entropy(logits, labels, label_smoothing)
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return ce, pred_ids, offsets
@@ -252,7 +252,7 @@ def finetune_surgery(params, state, arch: TaggerArch, cfg: Config,
 
 def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
              label_list, cfg: Config, writer, step: int, id2lang,
-             merge_map=None) -> float:
+             merge_map=None, mesh=None) -> float:
     """Reference evaluate() (train.py:456-545): CE, frame accuracy, PER, TER,
     median-filtered decode, merged segments, first-N prediction figures."""
     id2label = {i: l for i, l in enumerate(label_list)}
@@ -264,16 +264,27 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
     vis_limit = cfg.num_vis_samples
 
     for batch in val_loader.epoch_batches(epoch=0):
+        n_real = len(batch["label_lengths"])
+        if mesh is not None:
+            # Pad rows to a 'data'-axis multiple (shard_map kernels need
+            # divisibility); padded rows use labels −100 so the CE mean is
+            # unchanged, and their decodes are never read back.
+            from ..parallel import shard_batch
+            arrays = shard_batch(
+                {k: batch[k] for k in ("audio", "labels", "lang_ids")},
+                mesh, pad_value_map={"labels": -100})
+        else:
+            arrays = {k: jnp.asarray(batch[k])
+                      for k in ("audio", "labels", "lang_ids")}
         ce, pred_ids, offsets = eval_step(
-            params, model_state, jnp.asarray(batch["audio"]),
-            jnp.asarray(batch["labels"]), jnp.asarray(batch["lang_ids"]),
-            max_label_len=batch["max_label_len"])
+            params, model_state, arrays["audio"], arrays["labels"],
+            arrays["lang_ids"], max_label_len=batch["max_label_len"])
         val_losses.append(float(ce))
         pred_ids = np.asarray(pred_ids)
         offsets = np.asarray(offsets)
         labels_np = np.asarray(batch["labels"])
 
-        for j in range(pred_ids.shape[0]):
+        for j in range(n_real):
             label_len = int(batch["label_lengths"][j])
             ids = pred_ids[j, :label_len]
             if median_size > 1:
@@ -367,16 +378,37 @@ def train(config_path: str = "config.yaml",
                              frame_duration=cfg.frame_duration)
 
     arch = TaggerArch.from_config(cfg, len(label_list))
-    if jax.devices()[0].platform == "tpu" and len(jax.devices()) == 1:
+
+    # --- data/model parallelism over all visible devices (XLA collectives
+    # over ICI; SURVEY.md §2 "Parallelism"). Enabled automatically with >1
+    # device unless training.data_parallel is false. Created before the
+    # step functions: the Pallas kernels need the mesh for shard_map.
+    n_devices = len(jax.devices())
+    model_parallel = int(
+        cfg.raw.get("training", {}).get("model_parallel", 1))
+    use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
+        cfg.raw.get("training", {}).get("data_parallel", True)))
+    mesh = None
+    if use_mesh:
+        from ..parallel import make_mesh
+        mesh = make_mesh(model_parallel=model_parallel)
+        data_size = mesh.shape["data"]
+        if cfg.batch_size % data_size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"{data_size}-way data axis")
+        print(f"[INFO] Parallel over {n_devices} devices "
+              f"(mesh {dict(mesh.shape)})")
+
+    if jax.devices()[0].platform == "tpu":
         # Differentiable Pallas flash attention for every encoder flavor
         # (measured: whisper-base train step 178 ms vs 191 ms XLA at
         # B=8×30 s). The WavLM kernel carries the gated relative-bias
         # gradients (dBias/dGate) through its custom VJP, so the flagship
         # encoder trains without materializing [B,H,T,T] score tensors.
-        # Multi-chip meshes run the pure-XLA graph instead: Pallas custom
-        # calls are not GSPMD-partitionable, and at DP batch-per-chip the
-        # XLA attention fits HBM again (shard_map-wrapped kernels are the
-        # roadmap item for Pallas-on-mesh).
+        # On a mesh the kernels run per-shard under shard_map (batch on
+        # 'data', heads on 'model'; replicated-input cotangents like dBias
+        # are psum'd by shard_map's AD) — no more pure-XLA fallback.
         import dataclasses
         arch = dataclasses.replace(arch, use_flash_attention=True)
         if arch.whisper is not None:
@@ -429,33 +461,15 @@ def train(config_path: str = "config.yaml",
     train_step = make_train_step(
         arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
         compute_dtype=compute_dtype,
-        seg_diff_weight=cfg.differentiable_segmental_weight)
-    eval_step = make_eval_step(arch, cfg.label_smoothing)
+        seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
+    eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh)
 
     step = 0
     best_loss = float("inf")
     checkpoint_paths = []
 
-    # --- data parallelism over all visible devices (XLA collectives over
-    # ICI; SURVEY.md §2 "Parallelism"). Enabled automatically with >1
-    # device unless training.data_parallel is false.
-    n_devices = len(jax.devices())
-    model_parallel = int(
-        cfg.raw.get("training", {}).get("model_parallel", 1))
-    use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
-        cfg.raw.get("training", {}).get("data_parallel", True)))
-    mesh = None
-    if use_mesh:
-        from ..parallel import make_mesh
-        mesh = make_mesh(model_parallel=model_parallel)
-        data_size = mesh.shape["data"]
-        if cfg.batch_size % data_size != 0:
-            raise ValueError(
-                f"batch_size {cfg.batch_size} must be divisible by the "
-                f"{data_size}-way data axis")
+    if mesh is not None:
         train_loader.drop_last = True
-        print(f"[INFO] Parallel over {n_devices} devices "
-              f"(mesh {dict(mesh.shape)})")
 
     resume = find_resume_checkpoint(save_dir)
     if resume is not None:
@@ -586,7 +600,7 @@ def train(config_path: str = "config.yaml",
             if step % cfg.val_check_interval == 0:
                 val_loss = evaluate(params, model_state, arch, eval_step,
                                     val_loader, label_list, cfg, writer,
-                                    step, id2lang, merge_map)
+                                    step, id2lang, merge_map, mesh=mesh)
                 log_event("val", step, loss=val_loss)
                 model_path = os.path.join(save_dir, f"model_step{step}.pt")
                 save_model_checkpoint(model_path, params, model_state, arch,
