@@ -92,3 +92,21 @@ for _ in range(6):
 med = float(np.median(ts))
 print(f"step: {med*1e3:.1f} ms  ({B/med:.1f} samples/s, "
       f"{B*SECONDS/med:.0f} audio-sec/s)", flush=True)
+
+# Pipelined loop: dispatch step N, then read step N-1's metrics — the
+# train loop's one-step-delayed readback (train/loop.py drain_pending).
+# Overlaps the ~32 ms relay dispatch + host logging with device compute.
+N_PIPE = 10
+prev_metrics = None
+t0 = time.perf_counter()
+for _ in range(N_PIPE):
+    out = run(params, state, opt_state)
+    params, state, opt_state = out[0], out[1], out[2]
+    if prev_metrics is not None:
+        float(prev_metrics["loss"])
+    prev_metrics = out[3]
+float(prev_metrics["loss"])
+hard_sync(out)
+per = (time.perf_counter() - t0) / N_PIPE
+print(f"pipelined loop step: {per*1e3:.1f} ms  ({B/per:.1f} samples/s, "
+      f"{B*SECONDS/per:.0f} audio-sec/s)", flush=True)

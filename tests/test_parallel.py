@@ -287,6 +287,39 @@ def test_maybe_initialize_distributed_guard():
         mesh_mod._dist_initialized = orig
 
 
+def test_maybe_initialize_distributed_single_host_hostnames():
+    """TPU_WORKER_HOSTNAMES with a single host (the axon relay exports
+    'localhost') must NOT trip the guard — jax.distributed.initialize dies
+    without a coordinator address on single-host boxes. Multiple
+    comma-separated hosts do count; an unresolvable-coordinator ValueError
+    degrades to a no-op instead of killing the run."""
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        assert mesh_mod.maybe_initialize_distributed(
+            env={"TPU_WORKER_HOSTNAMES": "localhost"},
+            _initialize=lambda: calls.append(1)) is False
+        assert calls == []
+        assert mesh_mod.maybe_initialize_distributed(
+            env={"TPU_WORKER_HOSTNAMES": "host-0,host-1"},
+            _initialize=lambda: calls.append(1)) is True
+        assert calls == [1]
+
+        mesh_mod._dist_initialized = False
+
+        def no_coordinator():
+            raise ValueError("coordinator_address should be defined.")
+
+        assert mesh_mod.maybe_initialize_distributed(
+            env={"TPU_WORKER_HOSTNAMES": "host-0,host-1"},
+            _initialize=no_coordinator) is False
+    finally:
+        mesh_mod._dist_initialized = orig
+
+
 def test_maybe_initialize_distributed_tolerates_prior_init():
     """A launcher that already initialized jax.distributed raises
     RuntimeError from initialize(); the guard must swallow it."""

@@ -515,6 +515,13 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
     # the saved lse is re-padded to the bwd padding. WFL_FLASH_BWD_BQ/BK
     # override the caps for tile sweeps (scripts/ablate_flash_bwd.py).
     t_pad = -(-t // 128) * 128
+    # Round-3 tile sweep (scripts/ablate_flash_bwd.py): full-row k blocks
+    # measure 3.55 vs 3.76 ms/pass standalone, but the dK/dV kernel then
+    # allocates 19.33 MB scoped VMEM inside the real train-step graph and
+    # fails to compile (16 MB limit) — standalone jit of the VJP squeaks
+    # through, the train step does not. 768 measures no win (3.77). Keep
+    # the measured-safe divisor-aligned caps; WFL_FLASH_BWD_BQ/BK override
+    # for sweeps.
     bk_cap = 256 if (bias is not None and q.dtype != jnp.bfloat16) else 512
     bq_cap = int(os.environ.get("WFL_FLASH_BWD_BQ", "256"))
     bk_cap = int(os.environ.get("WFL_FLASH_BWD_BK", str(bk_cap)))

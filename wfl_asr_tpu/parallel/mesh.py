@@ -37,18 +37,29 @@ _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",        # explicit JAX coordinator
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice (DCN) launches
-    "TPU_WORKER_HOSTNAMES",           # GCE/GKE TPU pod metadata
     "JAX_PROCESS_COUNT",
 )
 
 _dist_initialized = False
 
 
+def _looks_multihost(env) -> bool:
+    if any(v in env for v in _CLUSTER_ENV_VARS):
+        return True
+    # GCE/GKE TPU pod metadata: counts only when it actually names more
+    # than one worker — single-host platforms (this repo's axon relay
+    # included) set TPU_WORKER_HOSTNAMES=localhost, which must not trip
+    # the guard (jax.distributed.initialize then dies looking for a
+    # coordinator address).
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts
+
+
 def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
     """Call ``jax.distributed.initialize()`` iff standard cluster env vars
-    are present (multi-host TPU pod / multi-slice launch), exactly once.
-    No-op on single-host runs — the common case in this repository, where
-    only one chip (or a forced-CPU mesh) is visible. Returns True when
+    mark a multi-host TPU pod / multi-slice launch, exactly once. No-op on
+    single-host runs — the common case in this repository, where only one
+    chip (or a forced-CPU mesh) is visible. Returns True when
     initialization ran.
 
     ``env``/``_initialize`` are injectable for unit tests (multi-host can't
@@ -57,7 +68,7 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
     env = os.environ if env is None else env
     if _dist_initialized:
         return False
-    if not any(v in env for v in _CLUSTER_ENV_VARS):
+    if not _looks_multihost(env):
         return False
     init = _initialize if _initialize is not None else \
         jax.distributed.initialize
@@ -66,6 +77,12 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
     except RuntimeError:
         # already initialized by the launcher — that's fine
         pass
+    except ValueError as e:
+        # Env vars looked multi-host but auto-detection could not resolve
+        # a coordinator — degrade to single-process rather than killing
+        # the run (the reference trains single-device unconditionally).
+        print(f"[WARN] jax.distributed.initialize skipped: {e}")
+        return False
     _dist_initialized = True
     return True
 

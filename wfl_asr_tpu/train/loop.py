@@ -530,6 +530,54 @@ def train(config_path: str = "config.yaml",
         "restart_loader_on_validation", False))
     epoch = 0
     last_log = time.time()
+
+    # One-step-delayed metric readback: the loop dispatches step N, then
+    # logs step N-1's (already finished) metrics while N runs on device.
+    # Synchronous float(metrics) after every dispatch would serialize the
+    # ~32 ms host/relay dispatch latency with device compute; the one-deep
+    # pipeline overlaps them the same way the serving path does. Drained
+    # before every validation/checkpoint so ordering in TB/metrics.jsonl
+    # is unchanged.
+    pending = None
+
+    def drain_pending():
+        nonlocal pending, last_log
+        if pending is None:
+            return
+        p_step, p_metrics, p_pred, p_off, p_batch, p_lr = pending
+        pending = None
+        loss_val = float(p_metrics["loss"])
+        offset_val = float(p_metrics["offset_loss"])
+        if segmental_metric and seg_weight != 0.0:
+            # Host-side value-only segmental term (quirk Q1: detached in
+            # the reference — shifts the logged loss, no gradient).
+            pred_np = np.asarray(p_pred)
+            off_np = np.asarray(p_off)
+            seg_total = 0.0
+            for i in range(pred_np.shape[0]):
+                ll = int(p_batch["label_lengths"][i])
+                tags = [id2label[int(p)] for p in pred_np[i, :ll]]
+                segs_pred = decode_bio_tags(
+                    tags, frame_duration=cfg.frame_duration,
+                    offsets=off_np[i, :ll])
+                gt = p_batch["segments_gt"][i]
+                if isinstance(gt, list) and len(gt) == 1 \
+                        and isinstance(gt[0], list):
+                    gt = gt[0]
+                seg_total += segmental_loss_value(segs_pred, gt,
+                                                  seg_weights)
+            loss_val += seg_weight * seg_total / pred_np.shape[0]
+
+        if writer is not None:
+            writer.add_scalar("train/loss", loss_val, p_step)
+            writer.add_scalar("train/offset_loss", offset_val, p_step)
+        log_event("train", p_step, loss=loss_val, offset_loss=offset_val,
+                  lr=p_lr)
+        now = time.time()
+        print(f"\r[Step {p_step}] Loss: {loss_val:.4f} "
+              f"({1.0 / max(now - last_log, 1e-9):.2f} it/s)", end="")
+        last_log = now
+
     from ..utils.profiling import maybe_trace
     profile_ctx = maybe_trace("train")
     profile_ctx.__enter__()
@@ -565,39 +613,11 @@ def train(config_path: str = "config.yaml",
                 scheduler.step()
             step += 1
 
-            loss_val = float(metrics["loss"])
-            offset_val = float(metrics["offset_loss"])
-            if segmental_metric and seg_weight != 0.0:
-                # Host-side value-only segmental term (quirk Q1: detached in
-                # the reference — shifts the logged loss, no gradient).
-                pred_np = np.asarray(pred_ids)
-                off_np = np.asarray(offsets)
-                seg_total = 0.0
-                for i in range(pred_np.shape[0]):
-                    ll = int(batch["label_lengths"][i])
-                    tags = [id2label[int(p)] for p in pred_np[i, :ll]]
-                    segs_pred = decode_bio_tags(
-                        tags, frame_duration=cfg.frame_duration,
-                        offsets=off_np[i, :ll])
-                    gt = batch["segments_gt"][i]
-                    if isinstance(gt, list) and len(gt) == 1 \
-                            and isinstance(gt[0], list):
-                        gt = gt[0]
-                    seg_total += segmental_loss_value(segs_pred, gt,
-                                                      seg_weights)
-                loss_val += seg_weight * seg_total / pred_np.shape[0]
-
-            if writer is not None:
-                writer.add_scalar("train/loss", loss_val, step)
-                writer.add_scalar("train/offset_loss", offset_val, step)
-            log_event("train", step, loss=loss_val, offset_loss=offset_val,
-                      lr=lr_used)
-            now = time.time()
-            print(f"\r[Step {step}] Loss: {loss_val:.4f} "
-                  f"({1.0 / max(now - last_log, 1e-9):.2f} it/s)", end="")
-            last_log = now
+            drain_pending()     # log step-1 while this step runs on device
+            pending = (step, metrics, pred_ids, offsets, batch, lr_used)
 
             if step % cfg.val_check_interval == 0:
+                drain_pending()
                 val_loss = evaluate(params, model_state, arch, eval_step,
                                     val_loader, label_list, cfg, writer,
                                     step, id2lang, merge_map, mesh=mesh)
@@ -642,6 +662,7 @@ def train(config_path: str = "config.yaml",
 
             if step >= cfg.max_steps:
                 break
+        drain_pending()
         if not epoch_ran:
             raise ValueError(
                 f"training epoch produced no batches ({len(train_idx)} "
