@@ -45,6 +45,25 @@ def test_fused_chain_matches_xla(ks, t, tile):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,bb", [
+    (3, 2),   # bb does not divide b → falls back to nb=1
+    (4, 4),   # whole batch per invocation
+    (6, 4),   # largest divisor ≤ bb → nb=3
+])
+def test_fused_chain_batch_block(b, bb):
+    """batch_block packs several batch rows per grid invocation (amortizes
+    the per-invocation overhead); numerics must not depend on the block."""
+    rng = np.random.RandomState(b * 10 + bb)
+    t, c = 1100, 64
+    x = jnp.asarray((rng.randn(b, t, c) * 0.4).astype(np.float32))
+    ws = make_chain(2, c, (3, 2, 2))
+    ref = xla_chain(x, ws)
+    out = fused_conv_chain(x, ws, tile_out=32, batch_block=bb)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_chain_bf16():
     rng = np.random.RandomState(3)
     b, t, c = 1, 1100, 64

@@ -46,6 +46,14 @@ HALO_ROWS = 128
 # accumulators of the widest layer, this stays inside the ~16 MB VMEM.
 DEFAULT_TILE = int(os.environ.get("WFL_CONV_TILE", "128"))
 MAX_CHAIN = int(os.environ.get("WFL_CONV_CHAIN", "3"))
+# Batch elements per grid invocation. The probe (scripts/probe_conv_vpu.py)
+# suggested the chains' floor was per-invocation grid overhead (~11 µs ×
+# ~1900 invocations at B=16×30 s); packing rows per invocation was measured
+# and REJECTED: WFL_CONV_BB=2 is 37.5 vs 36.1 ms at B=16×30 s bf16 (the
+# input/halo/output streams double while the sequential in-kernel row loop
+# adds no overlap) and WFL_CONV_BB=4 overflows scoped VMEM (16.10 MB > 16).
+# The knob stays for reproducing the sweep (scripts/ablate_conv.py).
+DEFAULT_BATCH_BLOCK = int(os.environ.get("WFL_CONV_BB", "1"))
 
 
 def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -75,44 +83,50 @@ def _kernel(x_ref, halo_ref, mean_ref, inv_ref, scale_ref, bias_ref,
             *rest, ks: Sequence[int], t_outs: Sequence[int], c: int,
             has_norm: bool):
     w_refs, out_ref = rest[:-1], rest[-1]
-    cur = jnp.concatenate([x_ref[0], halo_ref[0]], axis=0)   # [main+128, C]
-    if has_norm:
-        # Fused per-(batch,channel) GroupNorm application + GELU on the
-        # input tile: the stats are a cheap XLA reduction, but applying
-        # them as a separate pass costs a full read+write of the [B,T,C]
-        # activation (~7.5 ms at B=16×30 s). Halo rows are renormalized
-        # when they reappear as the next tile's main rows — stateless.
-        xf = (cur.astype(jnp.float32) - mean_ref[0]) * inv_ref[0]
-        cur = _gelu_f32(xf * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
-    wi = 0
-    for k, t_o in zip(ks, t_outs):
-        if k == 3:
-            w01, w2 = w_refs[wi][:], w_refs[wi + 1][:]
-            wi += 2
-            v0 = cur[: 2 * t_o + 2].reshape(t_o + 1, 2 * c)
-            acc = jax.lax.dot_general(
-                v0[:t_o], w01, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # taps 0,1
-            t2 = jax.lax.dot_general(
-                v0[:, :c], w2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # tap 2, rows+1
-            # row i needs t2[i+1]: roll up one row (f32 sublane rotate)
-            acc = acc + pltpu.roll(t2, shift=t_o, axis=0)[:t_o]
-        else:  # k == 2
-            w01 = w_refs[wi][:]
-            wi += 1
-            v0 = cur[: 2 * t_o].reshape(t_o, 2 * c)
-            acc = jax.lax.dot_general(
-                v0, w01, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        cur = _gelu_f32(acc).astype(x_ref.dtype)
-    out_ref[0] = cur
+    # Static loop over the invocation's batch rows: streams (x/halo/out)
+    # carry all nb rows, per-layer intermediates are per-row (sequential).
+    for e in range(x_ref.shape[0]):
+        cur = jnp.concatenate([x_ref[e], halo_ref[e]], axis=0)  # [main+128,C]
+        if has_norm:
+            # Fused per-(batch,channel) GroupNorm application + GELU on the
+            # input tile: the stats are a cheap XLA reduction, but applying
+            # them as a separate pass costs a full read+write of the [B,T,C]
+            # activation (~7.5 ms at B=16×30 s). Halo rows are renormalized
+            # when they reappear as the next tile's main rows — stateless.
+            xf = (cur.astype(jnp.float32) - mean_ref[e]) * inv_ref[e]
+            cur = _gelu_f32(xf * scale_ref[0] + bias_ref[0]) \
+                .astype(x_ref.dtype)
+        wi = 0
+        for k, t_o in zip(ks, t_outs):
+            if k == 3:
+                w01, w2 = w_refs[wi][:], w_refs[wi + 1][:]
+                wi += 2
+                v0 = cur[: 2 * t_o + 2].reshape(t_o + 1, 2 * c)
+                acc = jax.lax.dot_general(
+                    v0[:t_o], w01, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # taps 0,1
+                t2 = jax.lax.dot_general(
+                    v0[:, :c], w2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # tap 2, rows+1
+                # row i needs t2[i+1]: roll up one row (f32 sublane rotate)
+                acc = acc + pltpu.roll(t2, shift=t_o, axis=0)[:t_o]
+            else:  # k == 2
+                w01 = w_refs[wi][:]
+                wi += 1
+                v0 = cur[: 2 * t_o].reshape(t_o, 2 * c)
+                acc = jax.lax.dot_general(
+                    v0, w01, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            cur = _gelu_f32(acc).astype(x_ref.dtype)
+        out_ref[e] = cur
 
 
-@functools.partial(jax.jit, static_argnames=("tile_out", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_out", "mesh", "batch_block"))
 def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                      tile_out: int = DEFAULT_TILE,
-                     input_norm=None, mesh=None) -> jnp.ndarray:
+                     input_norm=None, mesh=None,
+                     batch_block: int = DEFAULT_BATCH_BLOCK) -> jnp.ndarray:
     """Fused chain of stride-2 VALID Conv1d(+GELU) layers.
 
     x: [B, T, C] channels-last; weights: per layer [C, C, k] (torch
@@ -131,18 +145,25 @@ def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
         from .flash_attention import shard_wrap
-        core = lambda x_, w_, n_: _fused_conv_impl(x_, w_, n_, tile_out)
+        core = lambda x_, w_, n_: _fused_conv_impl(x_, w_, n_, tile_out,
+                                                   batch_block)
         row = P("data", None)
         fn = shard_wrap(core, mesh, per_arg_specs=(
             P("data", None, None), P(),
             (row, row, P(), P()) if input_norm is not None else None),
             out_spec=P("data", None, None))
         return fn(x, list(weights), input_norm)
-    return _fused_conv_impl(x, list(weights), input_norm, tile_out)
+    return _fused_conv_impl(x, list(weights), input_norm, tile_out,
+                            batch_block)
 
 
-def _fused_conv_impl(x, weights, input_norm, tile_out: int) -> jnp.ndarray:
+def _fused_conv_impl(x, weights, input_norm, tile_out: int,
+                     batch_block: int = 1) -> jnp.ndarray:
     b, t_in, c = x.shape
+    # Largest divisor of b not exceeding the requested batch block.
+    nb = max(1, min(batch_block, b))
+    while b % nb:
+        nb -= 1
     ks = [int(w.shape[2]) for w in weights]
     for w in weights:
         if w.shape[0] != c or w.shape[1] != c:
@@ -202,7 +223,7 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int) -> jnp.ndarray:
             w_specs.append(pl.BlockSpec((c, c), lambda bi, ti: (0, 0),
                                         memory_space=pltpu.VMEM))
 
-    # Norm vectors as [*, 1, C] so blocks are (1, 1, c): the sublane dim
+    # Norm vectors as [*, 1, C] so blocks are (nb, 1, c): the sublane dim
     # equals the array dim (Mosaic tiling rule for short dims).
     has_norm = input_norm is not None
     if has_norm:
@@ -213,15 +234,18 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int) -> jnp.ndarray:
                      jnp.asarray(bias, jnp.float32).reshape(1, 1, c)]
     else:
         norm_args = [jnp.zeros((1, 1, 1), jnp.float32)] * 4
-    shp = (1, 1, c) if has_norm else (1, 1, 1)
+    shp = (nb, 1, c) if has_norm else (1, 1, 1)
+    shared_shp = (1, 1, c) if has_norm else (1, 1, 1)
     per_b = (lambda bi, ti: (bi, 0, 0)) if has_norm \
         else (lambda bi, ti: (0, 0, 0))
     shared = lambda bi, ti: (0, 0, 0)
     norm_specs = [
         pl.BlockSpec(shp, per_b, memory_space=pltpu.VMEM),   # mean [B,1,C]
         pl.BlockSpec(shp, per_b, memory_space=pltpu.VMEM),   # inv [B,1,C]
-        pl.BlockSpec(shp, shared, memory_space=pltpu.VMEM),  # scale [1,1,C]
-        pl.BlockSpec(shp, shared, memory_space=pltpu.VMEM),  # bias [1,1,C]
+        pl.BlockSpec(shared_shp, shared,
+                     memory_space=pltpu.VMEM),               # scale [1,1,C]
+        pl.BlockSpec(shared_shp, shared,
+                     memory_space=pltpu.VMEM),               # bias [1,1,C]
     ]
 
     kernel = functools.partial(_kernel, ks=tuple(ks), t_outs=tuple(t_outs),
@@ -229,16 +253,16 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int) -> jnp.ndarray:
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
+        grid=(b // nb, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, main_rows, c), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((nb, main_rows, c), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, halo_rows, c), halo_index,
+            pl.BlockSpec((nb, halo_rows, c), halo_index,
                          memory_space=pltpu.VMEM),
             *norm_specs,
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((1, tile_out, c), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((nb, tile_out, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_out, c), x.dtype),
         interpret=jax.devices()[0].platform != "tpu",
