@@ -97,6 +97,49 @@ def test_remove_checkpoint_all_formats(tmp_path):
     assert not os.path.exists(str(tmp_path / "model_step3.train.npz"))
 
 
+def test_atomic_save_no_tmp_left(tmp_path):
+    """Saves go through tmp + os.replace: no .tmp residue, and the final
+    file only ever appears complete (crash-mid-save cannot leave a torn
+    .pt that poisons auto-resume)."""
+    arch = small_arch()
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    path = str(tmp_path / "model_step1.pt")
+    save_model_checkpoint(path, params, state, arch)
+    save_train_state(path, {"m": np.zeros(2)}, 1,
+                     np.asarray(jax.random.PRNGKey(0)))
+    assert os.path.exists(path)
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+
+
+def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A truncated newest checkpoint (e.g. a kill mid-save from before
+    atomic writes) must not poison resume: find_resume_checkpoints lists
+    newest-first so the driver can fall back to the previous good one."""
+    from wfl_asr_tpu.checkpoint import find_resume_checkpoints
+
+    arch = small_arch()
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    good = str(tmp_path / "model_step10.pt")
+    save_model_checkpoint(good, params, state, arch)
+    # fake a torn newer checkpoint
+    bad = str(tmp_path / "model_step20.pt")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 1024)
+
+    ckpts = find_resume_checkpoints(str(tmp_path))
+    assert [s for _, s in ckpts] == [20, 10]
+
+    loaded = None
+    for path, step in ckpts:
+        try:
+            loaded = (load_model_checkpoint(path, arch), step)
+            break
+        except Exception:
+            continue
+    assert loaded is not None and loaded[1] == 10
+    assert_trees_equal(params, loaded[0][0])
+
+
 def test_train_state_sidecar(tmp_path):
     arch = small_arch()
     params, _ = init_tagger(jax.random.PRNGKey(0), arch)

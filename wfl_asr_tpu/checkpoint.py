@@ -54,8 +54,17 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return listify(root)
 
 
+def _atomic_npz(path: str, payload: Dict[str, np.ndarray]) -> None:
+    """Write an ``.npz`` atomically (tmp file + ``os.replace``) so a crash
+    mid-save can never leave a truncated archive at the final name."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
 def save_pytree_npz(path: str, tree) -> None:
-    np.savez(path, **_flatten(tree))
+    _atomic_npz(path, _flatten(tree))
 
 
 def load_pytree_npz(path: str):
@@ -91,7 +100,12 @@ def save_model_checkpoint(path: str, params, state, arch,
     try:
         import torch
         sd = {k: torch.tensor(v) for k, v in sd_np.items()}
-        torch.save(sd, path)
+        # Atomic: a crash/kill mid-save must not leave a truncated .pt at
+        # the final name — auto-resume reads the newest checkpoint and a
+        # torn file would poison every subsequent restart.
+        tmp = path + ".tmp"
+        torch.save(sd, tmp)
+        os.replace(tmp, path)
     except ImportError:
         save_pytree_npz(path + ".npz", sd_np)
 
@@ -158,7 +172,7 @@ def save_train_state(model_path: str, opt_state, step: int,
     payload = {f"opt::{_keypath_str(p)}": np.asarray(v) for p, v in leaves}
     payload["step"] = np.int64(step)
     payload["rng"] = np.asarray(rng_key)
-    np.savez(train_sidecar_path(model_path), **payload)
+    _atomic_npz(train_sidecar_path(model_path), payload)
 
 
 def load_train_state(model_path: str, opt_state_template):
@@ -181,21 +195,27 @@ def load_train_state(model_path: str, opt_state_template):
     return opt_state, int(stored["step"]), np.asarray(stored["rng"])
 
 
-def find_resume_checkpoint(save_dir: str) -> Optional[Tuple[str, int]]:
-    """Latest ``model_step{N}.pt`` in save_dir (reference train.py:420-427),
-    in any of the on-disk formats (``.pt`` torch, ``.pt.npz`` torch-less
-    fallback, ``.pt.orbax`` directory). Returns the ``.pt``-rooted path —
-    ``load_model_checkpoint`` resolves the actual format from it."""
-    found = []
+def find_resume_checkpoints(save_dir: str) -> list:
+    """All ``model_step{N}.pt`` checkpoints in save_dir, newest first, in
+    any of the on-disk formats (``.pt`` torch, ``.pt.npz`` torch-less
+    fallback, ``.pt.orbax`` directory). Returns ``.pt``-rooted
+    ``(path, step)`` pairs — ``load_model_checkpoint`` resolves the actual
+    format. Newest-first so resume can fall back past a checkpoint a crash
+    left unreadable (pre-atomic-save files, torn disks)."""
+    found = {}
     for name in os.listdir(save_dir):
         m = re.fullmatch(r"model_step(\d+)\.pt(\.npz|\.orbax)?", name)
         if m:
             root = name.removesuffix(".npz").removesuffix(".orbax")
-            found.append((int(m.group(1)), root))
-    if not found:
-        return None
-    step, name = max(found)
-    return os.path.join(save_dir, name), step
+            found[int(m.group(1))] = root
+    return [(os.path.join(save_dir, name), step)
+            for step, name in sorted(found.items(), reverse=True)]
+
+
+def find_resume_checkpoint(save_dir: str) -> Optional[Tuple[str, int]]:
+    """Latest ``model_step{N}.pt`` in save_dir (reference train.py:420-427)."""
+    all_ckpts = find_resume_checkpoints(save_dir)
+    return all_ckpts[0] if all_ckpts else None
 
 
 def remove_checkpoint(model_path: str) -> None:

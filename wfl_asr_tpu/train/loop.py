@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..checkpoint import (find_resume_checkpoint, load_model_checkpoint,
+from ..checkpoint import (find_resume_checkpoints, load_model_checkpoint,
                           load_train_state, remove_checkpoint,
                           save_model_checkpoint, save_train_state)
 from ..config import Config
@@ -471,14 +471,29 @@ def train(config_path: str = "config.yaml",
     if mesh is not None:
         train_loader.drop_last = True
 
-    resume = find_resume_checkpoint(save_dir)
+    # Newest checkpoint first, falling back past unreadable ones: a kill
+    # mid-save (pre-atomic-write files, torn disks) must degrade to the
+    # previous checkpoint — not poison every restart (SURVEY §5 auto-resume).
+    resume = None
+    for cand_path, cand_step in find_resume_checkpoints(save_dir):
+        try:
+            params, model_state = load_model_checkpoint(cand_path, arch)
+            resume = (cand_path, cand_step)
+            break
+        except Exception as e:  # truncated/corrupt file
+            print(f"[WARN] Skipping unreadable checkpoint "
+                  f"{os.path.basename(cand_path)}: {e}")
     if resume is not None:
         ckpt_path, ckpt_step = resume
-        params, model_state = load_model_checkpoint(ckpt_path, arch)
         step = ckpt_step
         print(f"Resuming from checkpoint: {os.path.basename(ckpt_path)} "
               f"(step {step})")
-        restored = load_train_state(ckpt_path, opt_state)
+        try:
+            restored = load_train_state(ckpt_path, opt_state)
+        except Exception as e:
+            print(f"[WARN] Unreadable train-state sidecar, starting "
+                  f"optimizer fresh: {e}")
+            restored = None
         if restored is not None:
             opt_state, _, rng_np = restored
             rng = jnp.asarray(rng_np)
