@@ -228,9 +228,10 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     q = split(linear(params["q"], x))
     k = split(linear(params["k"], x))
     v = split(linear(params["v"], x))
-    # Same length/dtype policy as wavlm._attend: f32 (training) only above
-    # ~1k frames where the T² score traffic dominates; bf16 (inference)
-    # always. Static per trace.
+    # Same length/dtype policy as wavlm._attend: f32 only above ~1k frames
+    # where the T² score traffic dominates; bf16 always — measured to hold
+    # for bf16 *training* at short T too (flash 169.0 vs XLA 176.9 ms at
+    # B=16×10 s, docs/PERFORMANCE.md). Static per trace.
     from .wavlm import FLASH_MIN_T
     if use_flash and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T):
         # differentiable Pallas kernel — used in training and inference
