@@ -167,6 +167,41 @@ def test_unknown_encoder_names_fail_loudly():
     assert "encoder_arch_overrides" in str(e.value)
 
 
+def test_unknown_encoder_name_with_overrides_builds_arch():
+    """The error's advertised escape hatch must actually work: an unknown
+    encoder name + model.encoder_arch_overrides builds from the family
+    defaults + overrides instead of raising (r3 review: the preset lookup
+    used to run before overrides were applied, making the hatch a dead
+    end)."""
+    from wfl_asr_tpu.config import Config
+    from wfl_asr_tpu.models.tagger import TaggerArch
+
+    def cfg_for(enc, name, overrides):
+        raw = {"model": {"encoder_type": enc, "whisper_model": name,
+                         "wavlm_model": name, "num_languages": 0,
+                         "encoder_arch_overrides": overrides},
+               "data": {}, "training": {}, "output": {}}
+        return Config(raw)
+
+    arch = TaggerArch.from_config(
+        cfg_for("whisper", "my-whisper-distil",
+                {"d_model": 128, "num_layers": 2, "num_heads": 4,
+                 "ffn_dim": 256}), num_labels=5)
+    assert arch.whisper.d_model == 128 and arch.whisper.num_layers == 2
+    assert arch.hidden_size == 128
+
+    arch = TaggerArch.from_config(
+        cfg_for("wavlm", "my-wavlm-fork",
+                {"hidden_size": 96, "num_layers": 2, "num_heads": 4,
+                 "intermediate_size": 192}), num_labels=5)
+    assert arch.wavlm.hidden_size == 96 and arch.hidden_size == 96
+
+    # without overrides the unknown name still fails loudly
+    with pytest.raises(ValueError):
+        TaggerArch.from_config(cfg_for("wavlm", "my-wavlm-fork", {}),
+                               num_labels=5)
+
+
 def test_whisper_128mel_encoder_parity():
     """Front-end + encoder parity at v3's 128 mel bins (small dims): our
     whisper_log_mel(n_mels=128) + encoder vs HF WhisperFeatureExtractor

@@ -336,3 +336,50 @@ def test_maybe_initialize_distributed_tolerates_prior_init():
             _initialize=boom) is True
     finally:
         mesh_mod._dist_initialized = orig
+
+
+def test_maybe_initialize_distributed_propagates_real_failures():
+    """Only a double-init RuntimeError is benign. A coordinator
+    handshake/connection failure must propagate — swallowing it would let
+    N hosts train as N independent unsynced single-process runs."""
+    import pytest
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    def handshake_fail():
+        raise RuntimeError("Barrier timed out connecting to coordinator")
+
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        with pytest.raises(RuntimeError, match="Barrier timed out"):
+            mesh_mod.maybe_initialize_distributed(
+                env={"JAX_COORDINATOR_ADDRESS": "10.0.0.1:8476"},
+                _initialize=handshake_fail)
+        assert mesh_mod._dist_initialized is False
+    finally:
+        mesh_mod._dist_initialized = orig
+
+
+def test_maybe_initialize_distributed_valueerror_latches():
+    """The unresolvable-coordinator ValueError degrades to single-process
+    AND latches — the warning must not re-print on every session/train
+    call."""
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+
+    def no_coordinator():
+        calls.append(1)
+        raise ValueError("coordinator_address should be defined.")
+
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        env = {"JAX_COORDINATOR_ADDRESS": "nowhere"}
+        assert mesh_mod.maybe_initialize_distributed(
+            env=env, _initialize=no_coordinator) is False
+        assert mesh_mod.maybe_initialize_distributed(
+            env=env, _initialize=no_coordinator) is False
+        assert calls == [1]
+    finally:
+        mesh_mod._dist_initialized = orig

@@ -475,6 +475,29 @@ def test_train_end_to_end(tmp_path):
     assert any(f.startswith("model_step8") for f in os.listdir(save_dir)) or \
         os.path.exists(os.path.join(save_dir, "last_model.pt"))
 
+    # A torn NEWEST step checkpoint falls back to the previous good one
+    # (atomic writes prevent new torn files; this covers pre-existing ones)
+    torn = os.path.join(save_dir, "model_step99.pt")
+    with open(torn, "wb") as f:
+        f.write(b"\x00" * 512)
+    config3 = yaml.safe_load(open(cfg_path))
+    config3["training"]["max_steps"] = 9
+    yaml.dump(config3, open(cfg_path, "w"), sort_keys=False)
+    train(cfg_path)  # must not crash; resumes from the last good step
+    os.remove(torn) if os.path.exists(torn) else None
+
+    # If checkpoints exist but NONE are loadable (e.g. arch changed),
+    # train() must abort rather than silently restart and overwrite
+    # best_model.pt with a fresh model's first validation.
+    for f in os.listdir(save_dir):
+        if f.startswith("model_step") and f.endswith(".pt"):
+            with open(os.path.join(save_dir, f), "wb") as fh:
+                fh.write(b"\x00" * 512)
+        elif f.startswith("model_step"):  # stale sidecars
+            os.remove(os.path.join(save_dir, f))
+    with pytest.raises(RuntimeError, match="none"):
+        train(cfg_path)
+
 
 def test_q10_restart_loader_on_validation(tmp_path, monkeypatch):
     """training.restart_loader_on_validation reproduces quirk Q10: the

@@ -60,6 +60,8 @@ def _atomic_npz(path: str, payload: Dict[str, np.ndarray]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -100,11 +102,15 @@ def save_model_checkpoint(path: str, params, state, arch,
     try:
         import torch
         sd = {k: torch.tensor(v) for k, v in sd_np.items()}
-        # Atomic: a crash/kill mid-save must not leave a truncated .pt at
-        # the final name — auto-resume reads the newest checkpoint and a
-        # torn file would poison every subsequent restart.
+        # Atomic + durable: a crash/kill (or power cut — hence the fsync
+        # before rename) mid-save must not leave a truncated .pt at the
+        # final name — auto-resume reads the newest checkpoint and a torn
+        # file would poison every subsequent restart.
         tmp = path + ".tmp"
-        torch.save(sd, tmp)
+        with open(tmp, "wb") as f:
+            torch.save(sd, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     except ImportError:
         save_pytree_npz(path + ".npz", sd_np)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -125,7 +126,11 @@ class InferenceSession:
         # that could pin >1 GB of HBM across a varied-duration folder.
         self._pos_bias_full: Optional[jnp.ndarray] = None
         self._pos_bias_len = 0
-        self._pos_bias_slice: Tuple[int, Optional[jnp.ndarray]] = (0, None)
+        # Small LRU of sliced shorter-length views: a folder alternating
+        # between two bucket lengths must not re-materialize a tens-of-MB
+        # device slice every call (r3 review), but the store stays bounded.
+        self._pos_bias_slices: "OrderedDict[int, jnp.ndarray]" = OrderedDict()
+        self._pos_bias_slice_cap = 4
 
     # -- compiled forward ---------------------------------------------------
 
@@ -172,15 +177,19 @@ class InferenceSession:
                 bias = bias.astype(jnp.bfloat16)
             self._pos_bias_full = jax.device_put(bias)
             self._pos_bias_len = t_pad
-            self._pos_bias_slice = (0, None)
+            self._pos_bias_slices.clear()
         if t_pad == self._pos_bias_len:
             return self._pos_bias_full
-        if self._pos_bias_slice[0] != t_pad:
+        if t_pad not in self._pos_bias_slices:
             # leading-submatrix property: bias(t) == bias(T_max)[:, :t, :t]
             # slicing outside jit materializes a fresh device array
-            self._pos_bias_slice = (
-                t_pad, self._pos_bias_full[:, :t_pad, :t_pad])
-        return self._pos_bias_slice[1]
+            self._pos_bias_slices[t_pad] = \
+                self._pos_bias_full[:, :t_pad, :t_pad]
+            while len(self._pos_bias_slices) > self._pos_bias_slice_cap:
+                self._pos_bias_slices.popitem(last=False)
+        else:
+            self._pos_bias_slices.move_to_end(t_pad)
+        return self._pos_bias_slices[t_pad]
 
     def num_frames_for(self, num_samples: int) -> int:
         """Frame count the reference model would emit for this exact length

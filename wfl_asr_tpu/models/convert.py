@@ -7,6 +7,7 @@ Torch is only imported lazily — the framework itself never depends on it.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import numpy as np
@@ -235,21 +236,28 @@ def convert_tagger(sd: Dict, arch) -> tuple:
     return params, {"conformer": conformer_states}
 
 
+def _put_linear(out: Dict, prefix: str, p) -> None:
+    """Write a linear pytree {w[, b]} as torch-convention state_dict keys
+    (weight transposed). Shared by every export path — the transpose/bias
+    convention must stay in one place."""
+    out[f"{prefix}.weight"] = np.asarray(p["w"]).T
+    if "b" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _put_ln(out: Dict, prefix: str, p) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
 def export_wavlm(params, arch) -> Dict:
     """Inverse of ``convert_wavlm``: pytree → HF ``WavLMModel`` state_dict
     keys (numpy values). The pos-conv weight-norm is reconstructed as
     original1 = folded weight, original0 = its per-kernel-position norm —
     folding back reproduces the weight exactly."""
     out: Dict = {}
-
-    def put_linear(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
-        if "b" in p:
-            out[f"{prefix}.bias"] = np.asarray(p["b"])
-
-    def put_ln(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["scale"])
-        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    put_linear = functools.partial(_put_linear, out)
+    put_ln = functools.partial(_put_ln, out)
 
     for i, layer in enumerate(params["feature_encoder"]):
         pre = f"feature_extractor.conv_layers.{i}"
@@ -295,15 +303,8 @@ def export_whisper_encoder(params) -> Dict:
     """Inverse of ``convert_whisper_encoder``: pytree → bare HF
     ``WhisperEncoder`` state_dict keys (numpy values)."""
     out: Dict = {}
-
-    def put_linear(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
-        if "b" in p:
-            out[f"{prefix}.bias"] = np.asarray(p["b"])
-
-    def put_ln(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["scale"])
-        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    put_linear = functools.partial(_put_linear, out)
+    put_ln = functools.partial(_put_ln, out)
 
     for name in ("conv1", "conv2"):
         out[f"{name}.weight"] = np.asarray(params[name]["w"])
@@ -337,14 +338,8 @@ def export_tagger(params, state, arch) -> Dict:
         for k, v in export_whisper_encoder(params["encoder"]).items():
             out[f"encoder.{k}"] = v
 
-    def put_linear(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
-        if "b" in p:
-            out[f"{prefix}.bias"] = np.asarray(p["b"])
-
-    def put_ln(prefix, p):
-        out[f"{prefix}.weight"] = np.asarray(p["scale"])
-        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    put_linear = functools.partial(_put_linear, out)
+    put_ln = functools.partial(_put_ln, out)
 
     def put_conv(prefix, p):
         out[f"{prefix}.weight"] = np.asarray(p["w"])

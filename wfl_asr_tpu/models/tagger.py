@@ -99,12 +99,34 @@ class TaggerArch:
         # (e.g. custom dims for experimentation or tiny test models).
         overrides = cfg.raw.get("model", {}).get("encoder_arch_overrides") or {}
         if enc == "whisper":
-            whisper = whisper_arch_from_name(cfg.encoder_name)
+            # An unknown name WITH overrides builds on the family default —
+            # otherwise the error's advertised escape hatch would be a dead
+            # end (the preset lookup ran before overrides were applied).
+            try:
+                whisper = whisper_arch_from_name(cfg.encoder_name)
+            except ValueError:
+                if not overrides:
+                    raise
+                print(f"[WARN] Unknown whisper model "
+                      f"{cfg.encoder_name!r}: building from the WhisperArch "
+                      f"defaults + model.encoder_arch_overrides — overrides "
+                      f"must name every field that differs from the "
+                      f"defaults.")
+                whisper = WhisperArch()
             if overrides:
                 whisper = replace(whisper, **overrides)
             hidden = whisper.d_model
         elif enc == "wavlm":
-            wavlm = wavlm_arch_from_name(cfg.encoder_name)
+            try:
+                wavlm = wavlm_arch_from_name(cfg.encoder_name)
+            except ValueError:
+                if not overrides:
+                    raise
+                print(f"[WARN] Unknown wavlm model {cfg.encoder_name!r}: "
+                      f"building from the WavLMArch defaults + "
+                      f"model.encoder_arch_overrides — overrides must name "
+                      f"every field that differs from the defaults.")
+                wavlm = WavLMArch()
             if overrides:
                 overrides = {k: tuple(v) if isinstance(v, list) else v
                              for k, v in overrides.items()}

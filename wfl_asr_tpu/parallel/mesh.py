@@ -74,14 +74,20 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
         jax.distributed.initialize
     try:
         init()
-    except RuntimeError:
-        # already initialized by the launcher — that's fine
-        pass
+    except RuntimeError as e:
+        # Only a double-init is benign. Any other RuntimeError (coordinator
+        # handshake/connection failure) must propagate: swallowing it would
+        # let N hosts proceed as N independent single-process trainings
+        # with no gradient sync — silently wrong results.
+        if "already initialized" not in str(e):
+            raise
     except ValueError as e:
         # Env vars looked multi-host but auto-detection could not resolve
         # a coordinator — degrade to single-process rather than killing
         # the run (the reference trains single-device unconditionally).
+        # Latch so the warning prints once, not per _get_session call.
         print(f"[WARN] jax.distributed.initialize skipped: {e}")
+        _dist_initialized = True
         return False
     _dist_initialized = True
     return True

@@ -474,8 +474,13 @@ def train(config_path: str = "config.yaml",
     # Newest checkpoint first, falling back past unreadable ones: a kill
     # mid-save (pre-atomic-write files, torn disks) must degrade to the
     # previous checkpoint — not poison every restart (SURVEY §5 auto-resume).
+    # But if checkpoints exist and NONE load (arch/config mismatch, not a
+    # torn file), abort instead of silently restarting from scratch — a
+    # fresh run's first validation would overwrite best_model.pt.
     resume = None
-    for cand_path, cand_step in find_resume_checkpoints(save_dir):
+    candidates = find_resume_checkpoints(save_dir)
+    errors = []
+    for cand_path, cand_step in candidates:
         try:
             params, model_state = load_model_checkpoint(cand_path, arch)
             resume = (cand_path, cand_step)
@@ -483,6 +488,13 @@ def train(config_path: str = "config.yaml",
         except Exception as e:  # truncated/corrupt file
             print(f"[WARN] Skipping unreadable checkpoint "
                   f"{os.path.basename(cand_path)}: {e}")
+            errors.append(e)
+    if resume is None and candidates:
+        raise RuntimeError(
+            f"{len(candidates)} checkpoint(s) found in {save_dir} but none "
+            f"could be loaded (last error: {errors[-1]}). If the model "
+            "config changed, point output.save_dir at a fresh directory; "
+            "delete the unreadable files to deliberately restart.")
     if resume is not None:
         ckpt_path, ckpt_step = resume
         step = ckpt_step
