@@ -96,20 +96,26 @@ def test_session_pos_bias_store_is_bounded(tmp_path):
                 session.params["encoder"], session.arch.wavlm, t))
         np.testing.assert_allclose(np.asarray(got), exact[t],
                                    rtol=1e-6, atol=1e-7)
-        # bounded store: one full buffer (at the max length seen) + ≤1 slice
+        # bounded store: one full buffer (at the max length seen) + an LRU
+        # of at most _pos_bias_slice_cap shorter-length slices
         assert session._pos_bias_len == running_max
         assert session._pos_bias_full.shape[1] == session._pos_bias_len
-        # the store is a single tuple → at most one slice ever retained;
-        # when present it matches its recorded length
-        sl_len, sl = session._pos_bias_slice
-        assert sl is None or sl.shape[1] == sl_len
+        assert len(session._pos_bias_slices) <= session._pos_bias_slice_cap
+        for sl_len, sl in session._pos_bias_slices.items():
+            assert sl.shape[1] == sl_len
 
-    # growing past the previous max replaces (not appends) the buffer
+    # alternating between two cached lengths must reuse the SAME device
+    # arrays (no per-call re-slice — the r3 thrash fix)
+    a1 = session._pos_bias_for(24)
+    b1 = session._pos_bias_for(32)
+    assert session._pos_bias_for(24) is a1
+    assert session._pos_bias_for(32) is b1
+
+    # growing past the previous max replaces the buffer and drops slices
     big = session._pos_bias_for(96)
     assert big.shape == (4, 96, 96)
     assert session._pos_bias_len == 96
-    assert session._pos_bias_slice == (0, None) or \
-        session._pos_bias_slice[0] != 96
+    assert 96 not in session._pos_bias_slices
 
 
 def test_session_pos_bias_bf16_store(tmp_path):
