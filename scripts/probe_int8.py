@@ -1,0 +1,80 @@
+"""Probe: does an int8xint8->int32 matmul beat bf16xbf16->f32 on this chip
+at serving shapes? Gates whether a quantized serving mode is worth building.
+
+K-copies trick (see scripts/ablate_conv.py) to cancel the ~32 ms relay
+dispatch: time jit(f) that applies the matmul K times to independent
+buffers, difference two K values.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+M, K, N = 8 * 1499, 768, 3072
+K1, K2 = 8, 40
+REPS = 5
+
+
+def bench(make_args, op, label):
+    def many(k):
+        args = [make_args(i) for i in range(k)]
+
+        @jax.jit
+        def f(args):
+            return [op(*a) for a in args]
+
+        out = f(args)
+        np.asarray(out[0]).ravel()[:1]  # force
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            out = f(args)
+            np.asarray(out[-1]).ravel()[:1]
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = many(K1), many(K2)
+    per = (t2 - t1) / (K2 - K1) * 1e3
+    print(f"{label}: {per:.3f} ms per matmul "
+          f"({2 * M * K * N / (per / 1e3) / 1e12:.1f} TOP/s)", flush=True)
+    return per
+
+
+rng = np.random.RandomState(0)
+a_bf = jnp.asarray(rng.randn(M, K).astype(np.float32), jnp.bfloat16)
+b_bf = jnp.asarray(rng.randn(K, N).astype(np.float32), jnp.bfloat16)
+a_i8 = jnp.asarray(rng.randint(-127, 127, (M, K)), jnp.int8)
+b_i8 = jnp.asarray(rng.randint(-127, 127, (K, N)), jnp.int8)
+
+
+def mm_bf(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def mm_i8(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def mm_i8_dyn(a, b):
+    # dynamic per-row activation quantization + int8 matmul + rescale —
+    # the full cost of a drop-in quantized layer (weight scales folded).
+    s = jnp.max(jnp.abs(a), axis=1, keepdims=True) / 127.0
+    qa = jnp.round(a.astype(jnp.float32) / s).astype(jnp.int8)
+    acc = jax.lax.dot_general(qa, b, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s
+
+
+t_bf = bench(lambda i: (a_bf + i, b_bf), mm_bf, "bf16xbf16->f32")
+t_i8 = bench(lambda i: (a_i8, b_i8), mm_i8, "int8xint8->int32")
+t_dyn = bench(lambda i: (a_bf + i, b_i8), mm_i8_dyn,
+              "bf16 dyn-quant + int8 matmul + rescale")
+print(f"speedup raw: {t_bf / t_i8:.2f}x   end-to-end: {t_bf / t_dyn:.2f}x",
+      flush=True)

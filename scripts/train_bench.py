@@ -19,12 +19,21 @@ SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
 S = int(SECONDS * 16000)
 T = int(SECONDS / 0.02)
 
+import dataclasses
+import os
+
 arch = graft._flagship_arch(tiny=False)
+# WFL_TRAIN_PRESET=large (etc.) swaps the WavLM flavor at true dims — the
+# "does big-model training fit one chip" probe (docs/PERFORMANCE.md).
+preset = os.environ.get("WFL_TRAIN_PRESET")
+if preset:
+    from wfl_asr_tpu.models.tagger import wavlm_arch_from_name
+    wl = wavlm_arch_from_name(preset)
+    arch = dataclasses.replace(arch, wavlm=wl, hidden_size=wl.hidden_size)
+    print(f"wavlm preset: {preset}", flush=True)
 # Mirror train/loop.py: on TPU training runs the differentiable Pallas flash
 # attention (incl. WavLM's gated-bias VJP). WFL_TRAIN_FLASH=0 forces XLA
 # attention for an A/B comparison.
-import dataclasses
-import os
 if (jax.devices()[0].platform == "tpu"
         and os.environ.get("WFL_TRAIN_FLASH", "1") == "1"):
     arch = dataclasses.replace(
