@@ -79,6 +79,53 @@ def test_gradients_with_kv_len():
                                    atol=5e-5, rtol=1e-3, err_msg=f"d{name}")
 
 
+def test_gradients_finite_with_extreme_masked_keys():
+    """Masked (padded) key columns with huge activations must not poison
+    the gradients: the backward recomputation previously masked AFTER the
+    exp (exp(s−lse)·0), so an overflowing exp on a masked column produced
+    inf·0 = NaN (r3 review). Scores are now masked to NEG_INF first."""
+    b, h, t, d = 1, 2, 128, 32
+    q, k, v = make_qkv(7, b, h, t, d)
+    valid = 64
+    # padded-key region holds extreme values → masked-column s − lse ≫ 88
+    k = k.at[:, :, valid:, :].set(400.0)
+    v = v.at[:, :, valid:, :].set(5.0)
+    mask = jnp.asarray((np.arange(t) < valid)[None])
+    g_target = jnp.asarray(np.random.RandomState(8)
+                           .randn(b, h, t, d).astype(np.float32))
+    g_target = g_target * mask[:, None, :, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_trainable(q, k, v, valid, 64, 64)
+                       * g_target)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_core(q, k, v, mask=mask) * g_target)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, name in zip(gf, "qkv"):
+        assert np.isfinite(np.asarray(a)).all(), f"d{name} has NaN/inf"
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a)[:, :, :valid],
+                                   np.asarray(b_)[:, :, :valid],
+                                   atol=5e-5, rtol=1e-3, err_msg=f"d{name}")
+
+
+def test_forward_finite_with_zero_kv_len():
+    """kv_len == 0 rows (empty utterance) clamp to attending key 0 only —
+    finite, deterministic output instead of a garbage average of padded v
+    rows (the all-masked online softmax degenerates to p≡1)."""
+    q, k, v = make_qkv(9, 2, 2, 64, 32)
+    kv = jnp.asarray([0, 40], jnp.int32)
+    out = flash_attention_trainable(q, k, v, kv, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+    # the clamped row attends exactly key 0 → its v row everywhere
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.broadcast_to(np.asarray(v)[0, :, :1], out.shape[1:]),
+        atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Gated-bias flash attention (WavLM path): fwd + all five gradients
 # ---------------------------------------------------------------------------
@@ -128,6 +175,39 @@ def test_gated_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-3,
                                    err_msg=f"d{name}")
+
+
+def test_gated_gradients_finite_with_extreme_masked_keys():
+    """Same NaN-poisoning regression as the no-bias kernel, for the gated
+    WavLM path (both backward kernels recompute P from raw scores)."""
+    b, h, t, d = 1, 2, 128, 32
+    q, k, v, bias, gate = make_gated(10, b, h, t, d)
+    valid = 64
+    k = k.at[:, :, valid:, :].set(400.0)
+    mask = jnp.asarray((np.arange(t) < valid)[None].repeat(b, axis=0))
+    g_target = jnp.asarray(np.random.RandomState(11)
+                           .randn(b, h, t, d).astype(np.float32))
+    g_target = g_target * mask[:, None, :, None]
+
+    def loss_flash(q, k, v, bias, gate):
+        return jnp.sum(flash_attention(q, k, v, bias=bias, gate=gate,
+                                       kv_len=valid, block_q=64, block_k=64)
+                       * g_target)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, bias, gate)
+    for a, name in zip(gf, ["q", "k", "v", "bias", "gate"]):
+        assert np.isfinite(np.asarray(a)).all(), f"d{name} has NaN/inf"
+
+    def loss_ref(q, k, v, bias, gate):
+        return jnp.sum(gated_xla(q, k, v, bias, gate, mask=mask) * g_target)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, bias, gate)
+    np.testing.assert_allclose(np.asarray(gf[0])[:, :, :valid],
+                               np.asarray(gr[0])[:, :, :valid],
+                               atol=1e-4, rtol=1e-3, err_msg="dq")
+    np.testing.assert_allclose(np.asarray(gf[1])[:, :, :valid],
+                               np.asarray(gr[1])[:, :, :valid],
+                               atol=1e-4, rtol=1e-3, err_msg="dk")
 
 
 def test_gated_gradients_with_kv_len():

@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash_attention import _interpret
+
 import os
 
 HALO_ROWS = 128
@@ -265,6 +267,6 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int,
         out_specs=pl.BlockSpec((nb, tile_out, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_out, c), x.dtype),
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=_interpret(),
     )(x, x, *norm_args, *w_args)
     return out[:, :t_true]

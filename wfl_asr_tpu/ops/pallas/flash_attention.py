@@ -155,7 +155,13 @@ def _prep_inputs(q, k, v, bias, gate, kv_len, block_q, block_k):
     if kv_len is None:
         kv_arr = jnp.full((b,), t, jnp.int32)
     else:
-        kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+        # Clamp to ≥1: a kv_len==0 row (empty utterance) would make every
+        # block fully masked, m_new stays at the finite NEG_INF sentinel
+        # and p = exp(s − m_new) = 1 for all keys — the output would be a
+        # garbage average of padded v rows. Attending to key 0 alone keeps
+        # the row finite and deterministic; its output is padding anyway.
+        kv_arr = jnp.maximum(
+            jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)), 1)
     return qp, kp, vp, bias_p, gate_p, kv_arr.reshape(b, 1, 1), t_pad
 
 
@@ -263,7 +269,11 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
                 s = s + g * b_blk
             else:
                 s = s + b_blk
-        p = jnp.exp(s - lse) * k_valid                        # [BQ, BK]
+        # Mask scores BEFORE the exp (like the forward): a padded key
+        # column's raw score can satisfy s - lse > 88, and exp→inf times
+        # a 0 mask is NaN — which would poison every gradient.
+        s = jnp.where(k_valid > 0, s, NEG_INF)
+        p = jnp.exp(s - lse)                                  # [BQ, BK]
         dv_acc = dv_acc + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -314,7 +324,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
             s = s + (gate * b_blk if has_gate else b_blk)
         k_idx = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        p = jnp.exp(s - lse) * (k_idx < kv_len).astype(jnp.float32)
+        # mask before exp — see _bwd_dkdv_kernel
+        s = jnp.where(k_idx < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds_raw = p * (dp - delta)                             # dS (unscaled)

@@ -8,9 +8,12 @@
   blocks — recomputing P = exp(S − L) tile-by-tile, so no [B,H,T,T] tensor
   is ever materialized in either direction.
 
-Used by the Whisper encoder and Conformer blocks during training. The WavLM
-path trains with XLA attention because its gated relative position bias
-needs dBias/dGate, which this kernel does not produce (future work).
+Used by the Whisper encoder and Conformer blocks (training AND inference —
+the forward kernel here is also the serving path for those modules). WavLM
+training instead runs ``flash_attention.flash_attention`` whose VJP
+additionally produces the gated-relative-position-bias gradients
+(dBias/dGate); this module stays the lean no-bias specialization with its
+own (smaller) backward tile policy.
 """
 
 from __future__ import annotations
@@ -25,13 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
-                              divisor_block)
+                              _interpret, divisor_block)
 
 NEG_INF = -1e30
-
-
-def _interpret() -> bool:
-    return jax.devices()[0].platform != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +99,11 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse) * k_valid                        # [BQ, BK]
+        # Mask scores BEFORE the exp (like the forward): a padded key
+        # column's raw score can satisfy s - lse > 88, and exp→inf times
+        # a 0 mask is NaN — which would poison every gradient.
+        s = jnp.where(k_valid > 0, s, NEG_INF)
+        p = jnp.exp(s - lse)                                  # [BQ, BK]
         dv_acc = dv_acc + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -138,7 +141,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                                 preferred_element_type=jnp.float32)
         k_idx = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        p = jnp.exp(s - lse) * (k_idx < kv_len).astype(jnp.float32)
+        # mask before exp — see _bwd_dkdv_kernel
+        s = jnp.where(k_idx < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * sm_scale
@@ -165,7 +170,9 @@ def _pad_inputs(q, k, v, kv_len, block_q, block_k):
     if kv_len is None:
         kv_arr = jnp.full((b,), t, jnp.int32)
     else:
-        kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+        # clamp to ≥1 — see flash_attention._prep_inputs
+        kv_arr = jnp.maximum(
+            jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)), 1)
     return qp, kp, vp, kv_arr.reshape(b, 1, 1), t_pad
 
 

@@ -40,22 +40,14 @@ def median_filter_ids(ids: jnp.ndarray, size: int) -> jnp.ndarray:
     rank ``size // 2`` of the sorted window (scipy's medfilt rank for both
     parities).
     """
-    if size <= 1:
+    if size <= 1 or ids.ndim == 0:
+        # 0-d: a 1-element window is the identity (scipy preserves shape)
         return ids
     left = size // 2
     right = size - 1 - left
-    ids_t = ids if ids.ndim > 0 else ids[None]
-    pad_spec = [(0, 0)] * (ids_t.ndim - 1) + [(left, right)]
-    padded = jnp.pad(ids_t, pad_spec, mode="symmetric")  # scipy 'reflect'
-    windows = jnp.stack([jax.lax.slice_in_dim(padded, k, k + ids_t.shape[-1],
+    pad_spec = [(0, 0)] * (ids.ndim - 1) + [(left, right)]
+    padded = jnp.pad(ids, pad_spec, mode="symmetric")  # scipy 'reflect'
+    windows = jnp.stack([jax.lax.slice_in_dim(padded, k, k + ids.shape[-1],
                                               axis=-1)
                          for k in range(size)], axis=-1)  # [..., T, size]
     return jnp.sort(windows, axis=-1)[..., size // 2]
-
-
-@jax.jit
-def frame_posteriors(logits: jnp.ndarray):
-    """(argmax ids, max softmax probability) per frame — the two frame-level
-    quantities every decode path needs, computed in one fused pass."""
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1)
