@@ -151,15 +151,17 @@ def test_train_state_sidecar(tmp_path):
 
     model_path = str(tmp_path / "model_step7.pt")
     rng = np.asarray(jax.random.PRNGKey(3))
-    save_train_state(model_path, opt_state, 7, rng)
+    save_train_state(model_path, opt_state, 7, rng,
+                     scheduler_state={"last_epoch": 7, "factor": 0.5})
 
     template = tx.init(params)
     restored = load_train_state(model_path, template)
     assert restored is not None
-    r_opt, r_step, r_rng = restored
+    r_opt, r_step, r_rng, r_sched = restored
     assert r_step == 7
     np.testing.assert_array_equal(r_rng, rng)
     assert_trees_equal(r_opt, opt_state)
+    assert r_sched == {"last_epoch": 7.0, "factor": 0.5}
 
     assert load_train_state(str(tmp_path / "model_step9.pt"), template) is None
 

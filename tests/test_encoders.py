@@ -167,6 +167,23 @@ def test_unknown_encoder_names_fail_loudly():
     assert "encoder_arch_overrides" in str(e.value)
 
 
+def test_conv0_fast_path_eligibility():
+    """The windowed-matmul layer-0 fast path must refuse configs where the
+    row-group view drops the last output frame (k0 ≤ s0 with
+    S mod s0 ≥ k0 — r3 review) and all s0 < k0 < 2·s0 shapes; k0 == 2·s0
+    (every shipped preset) is always eligible."""
+    import dataclasses
+    from wfl_asr_tpu.models.wavlm import WavLMArch, _conv0_fast_ok
+
+    base = WavLMArch()
+    assert _conv0_fast_ok(base, 16000)          # k0=10 = 2*s0=5
+    k3 = dataclasses.replace(base, conv_kernel=(3,) + base.conv_kernel[1:])
+    assert not _conv0_fast_ok(k3, 14)           # t0=3 > rows=2 → truncates
+    assert _conv0_fast_ok(k3, 15)               # t0=3 == rows=3 → exact
+    k7 = dataclasses.replace(base, conv_kernel=(7,) + base.conv_kernel[1:])
+    assert not _conv0_fast_ok(k7, 16000)        # s0 < k0 < 2*s0 window case
+
+
 def test_unknown_encoder_name_with_overrides_builds_arch():
     """The error's advertised escape hatch must actually work: an unknown
     encoder name + model.encoder_arch_overrides builds from the family

@@ -476,10 +476,16 @@ def test_train_end_to_end(tmp_path):
         os.path.exists(os.path.join(save_dir, "last_model.pt"))
 
     # A torn NEWEST step checkpoint falls back to the previous good one
-    # (atomic writes prevent new torn files; this covers pre-existing ones)
+    # (atomic writes prevent new torn files; this covers pre-existing ones).
+    # The good checkpoint's sidecar is deleted too: resume must re-init the
+    # optimizer against the LOADED params (Prodigy p0 re-anchor, r3 review)
+    # and still train.
     torn = os.path.join(save_dir, "model_step99.pt")
     with open(torn, "wb") as f:
         f.write(b"\x00" * 512)
+    for f_ in os.listdir(save_dir):
+        if f_.endswith(".train.npz"):
+            os.remove(os.path.join(save_dir, f_))
     config3 = yaml.safe_load(open(cfg_path))
     config3["training"]["max_steps"] = 9
     yaml.dump(config3, open(cfg_path, "w"), sort_keys=False)
@@ -689,6 +695,91 @@ def test_new_scheduler_parity_per_update(name, params, torch_ctor):
         opt.step()
         ref.step()
         ours.step()
+
+
+def test_eta_min_is_absolute_like_torch():
+    """torch's eta_min / min_lr are ABSOLUTE learning rates; the reference
+    passes scheduler_params straight to torch (lr_schedulers.py:22-36), so
+    a YAML's eta_min must floor base_lr*factor at eta_min, not at
+    base_lr*eta_min (r3 review: at base_lr=1e-4 the old reading made the
+    floor 1e-10)."""
+    import torch
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    base_lr = 0.01
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=10, eta_min=1e-4)
+    ours = get_scheduler("CosineAnnealingLR",
+                         {"T_max": 10, "eta_min": 1e-4}, base_lr=base_lr)
+    for step in range(21):
+        assert base_lr * ours.factor == pytest.approx(
+            opt.param_groups[0]["lr"], rel=1e-6), f"step {step}"
+        opt.step()
+        ref.step()
+        ours.step()
+
+    # ReduceLROnPlateau min_lr: reductions stop at the absolute floor
+    ours = get_scheduler("ReduceLROnPlateau",
+                         {"patience": 0, "factor": 0.1, "min_lr": 1e-4},
+                         base_lr=base_lr)
+    for i in range(8):
+        ours.step(1.0 + i)  # monotonically worse
+    assert base_lr * ours.factor == pytest.approx(1e-4, rel=1e-6)
+
+
+def test_plateau_cooldown_matches_torch():
+    """Cooldown decrements on EVERY metric step while active (torch), even
+    improving ones — the old code froze the counter on improvements, which
+    could hold a run in cooldown indefinitely."""
+    import torch
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=1, threshold=1e-4, cooldown=2)
+    ours = get_scheduler("ReduceLROnPlateau",
+                         {"factor": 0.5, "patience": 1, "threshold": 1e-4,
+                          "cooldown": 2})
+    # worse, worse (reduce), improve, improve (cooldown must tick down),
+    # then worse, worse (a second reduction must fire)
+    metrics = [1.0, 1.1, 1.2, 0.9, 0.8, 1.5, 1.6, 1.7]
+    for i, m in enumerate(metrics):
+        ref.step(m)
+        ours.step(m)
+        assert ours.factor == pytest.approx(opt.param_groups[0]["lr"],
+                                            rel=1e-9), f"metric #{i}"
+
+
+def test_scheduler_state_roundtrip():
+    """state_dict/load_state_dict restore the LR curve position exactly
+    (persisted in the train sidecar for resume)."""
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    s = get_scheduler("CosineAnnealingLR", {"T_max": 10, "eta_min": 0.1})
+    for _ in range(7):
+        s.step()
+    state = s.state_dict()
+    s2 = get_scheduler("CosineAnnealingLR", {"T_max": 10, "eta_min": 0.1})
+    s2.load_state_dict(state)
+    assert s2.last_epoch == s.last_epoch and s2.factor == s.factor
+    s.step(); s2.step()
+    assert s2.factor == pytest.approx(s.factor)
+
+    pl = get_scheduler("ReduceLROnPlateau",
+                       {"factor": 0.5, "patience": 0, "cooldown": 3})
+    pl.step(1.0); pl.step(2.0)  # triggers a reduction + cooldown
+    state = pl.state_dict()
+    pl2 = get_scheduler("ReduceLROnPlateau",
+                        {"factor": 0.5, "patience": 0, "cooldown": 3})
+    pl2.load_state_dict(state)
+    assert pl2.factor == pl.factor and pl2.best == pl.best
+    assert pl2.cooldown_counter == pl.cooldown_counter
+    for m in (3.0, 3.0, 3.0, 3.0):
+        pl.step(m); pl2.step(m)
+        assert pl2.factor == pl.factor
 
 
 def test_onecycle_parity_vs_torch():

@@ -171,19 +171,24 @@ def _keypath_str(path) -> str:
 
 
 def save_train_state(model_path: str, opt_state, step: int,
-                     rng_key: np.ndarray) -> None:
+                     rng_key: np.ndarray,
+                     scheduler_state: Optional[Dict] = None) -> None:
     """Persist optimizer state leaves keyed by canonical jax keypaths, plus
-    step and PRNG key."""
+    step, PRNG key, and (optionally) the LR scheduler's scalar state."""
     leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(opt_state))[0]
     payload = {f"opt::{_keypath_str(p)}": np.asarray(v) for p, v in leaves}
     payload["step"] = np.int64(step)
     payload["rng"] = np.asarray(rng_key)
+    for k, v in (scheduler_state or {}).items():
+        payload[f"sched::{k}"] = np.float64(v)
     _atomic_npz(train_sidecar_path(model_path), payload)
 
 
 def load_train_state(model_path: str, opt_state_template):
     """Restore optimizer state into the template's structure. Returns
-    (opt_state, step, rng) or None if no sidecar exists."""
+    (opt_state, step, rng, scheduler_state) or None if no sidecar exists;
+    ``scheduler_state`` is a (possibly empty, for pre-r3 sidecars) dict of
+    scalar floats."""
     path = train_sidecar_path(model_path)
     if not os.path.exists(path):
         return None
@@ -198,7 +203,9 @@ def load_train_state(model_path: str, opt_state_template):
             raise ValueError(f"optimizer state missing {key!r} on resume")
         restored.append(stored[key].astype(np.asarray(template_leaf).dtype))
     opt_state = jax.tree_util.tree_unflatten(treedef, restored)
-    return opt_state, int(stored["step"]), np.asarray(stored["rng"])
+    sched = {k.removeprefix("sched::"): float(v)
+             for k, v in stored.items() if k.startswith("sched::")}
+    return opt_state, int(stored["step"]), np.asarray(stored["rng"]), sched
 
 
 def find_resume_checkpoints(save_dir: str) -> list:

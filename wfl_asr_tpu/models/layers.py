@@ -178,6 +178,20 @@ def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarra
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+class RngStream:
+    """Splitting PRNG stream for dropout keys (shared by every model
+    module — keep the None guard in one place)."""
+
+    def __init__(self, rng):
+        self._rng = rng
+
+    def pop(self):
+        if self._rng is None:
+            raise ValueError("train mode requires an rng")
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None,
                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:

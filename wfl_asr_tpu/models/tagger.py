@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..ops.frontend import (mel_spectrogram, wav2vec2_normalize,
                             wav2vec2_normalize_masked, whisper_log_mel)
 from . import heads as H
-from .layers import init_linear, linear
+from .layers import RngStream, init_linear, linear
 from .wavlm import WavLMArch, init_wavlm, wavlm_encode
 from .whisper import (WhisperArch, init_whisper_encoder, whisper_arch_from_name,
                       whisper_encode)
@@ -193,17 +193,6 @@ def init_tagger(rng: jax.Array, arch: TaggerArch) -> Tuple[dict, dict]:
     return params, {"conformer": conformer_states}
 
 
-class _RngStream:
-    def __init__(self, rng):
-        self._rng = rng
-
-    def pop(self):
-        if self._rng is None:
-            raise ValueError("train mode requires an rng")
-        self._rng, out = jax.random.split(self._rng)
-        return out
-
-
 def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            rng=None, deterministic: bool = True,
            compute_dtype=jnp.float32,
@@ -271,7 +260,7 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
     static-shape bucketed inference with exact-length numerics on valid
     frames. Training follows the reference's no-mask padded-batch semantics.
     """
-    rngs = _RngStream(rng)
+    rngs = RngStream(rng)
     deterministic = not train
 
     enc_rng = rngs.pop() if train else None

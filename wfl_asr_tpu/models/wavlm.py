@@ -36,9 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (attention_core, channel_stats, conv1d, dropout, gelu,
-                     group_norm, init_conv1d, init_layer_norm, init_linear,
-                     layer_norm, linear)
+from .layers import (RngStream, attention_core, channel_stats, conv1d,
+                     dropout, gelu, group_norm, init_conv1d, init_layer_norm,
+                     init_linear, layer_norm, linear)
 
 # Sequence length above which the Pallas flash kernel beats XLA attention
 # (score-tensor traffic grows as T²; crossover measured on v5e between
@@ -203,13 +203,13 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
     # keeping intermediate activations in VMEM instead of HBM round-trips.
     split = _fused_tail_start(arch) if arch.use_fused_conv else len(layers)
     if split == 1 and split < len(layers) \
-            and (arch.conv_kernel[0] <= arch.conv_stride[0]
-                 or arch.conv_kernel[0] == 2 * arch.conv_stride[0]) \
+            and _conv0_fast_ok(arch, audio.shape[-1]) \
             and arch.feat_extract_norm == "group":
-        # Gate is k0 ≤ s0 or k0 == 2·s0 exactly: for s0 < k0 < 2·s0 the
-        # row-pair view below has floor(S/s0)−1 rows, which can be one
-        # fewer than t0 — such configs (none of the shipped presets) fall
-        # back to the XLA conv path instead of silently truncating.
+        # Eligibility (_conv0_fast_ok) requires the row-group view to cover
+        # every output frame: k0 == 2·s0 exactly, or k0 ≤ s0 with enough
+        # rows at this static input length. Other configs (none of the
+        # shipped presets) fall back to the XLA conv path instead of
+        # silently truncating the last frame (r2/r3 advisor findings).
         # Channels-last fast path: layer 0 (C_in=1) as a windowed matmul
         # emitting [B, T, C] directly (no NCH conv lowering, no 3 GB
         # [B,C,T]→[B,T,C] relayout); GroupNorm *stats* as a fused XLA
@@ -252,6 +252,22 @@ def feature_encoder(params, arch: WavLMArch, audio: jnp.ndarray,
         x = gelu(x)
     x = jnp.swapaxes(x, 1, 2)                                # [B, T, C]
     return _fused_tail(params, arch, x, split, mesh=mesh)
+
+
+def _conv0_fast_ok(arch: WavLMArch, s: int) -> bool:
+    """Can layer 0 run as the windowed matmul without dropping frames?
+
+    The [S/s0, s0] row-group view has floor(S/s0) rows (pairs: one fewer).
+    k0 == 2·s0 needs exactly rows−1 frames (always holds); k0 ≤ s0 needs
+    t0 ≤ rows, which fails when S mod s0 ≥ k0 (an extra valid frame starts
+    in the truncated remainder). S is static under jit, so this is a
+    trace-time check; ineligible configs use the XLA conv path."""
+    k0, s0 = arch.conv_kernel[0], arch.conv_stride[0]
+    if k0 == 2 * s0:
+        return True
+    if k0 <= s0:
+        return (s - k0) // s0 + 1 <= s // s0
+    return False
 
 
 def _conv0_windowed(layer, arch: WavLMArch, audio: jnp.ndarray) -> jnp.ndarray:
@@ -430,15 +446,6 @@ def encoder_layer_stable_ln(layer, arch: WavLMArch, x: jnp.ndarray,
     return x + h
 
 
-class _RngStream:
-    def __init__(self, rng):
-        self._rng = rng
-
-    def pop(self):
-        self._rng, out = jax.random.split(self._rng)
-        return out
-
-
 def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
                  sample_mask: Optional[jnp.ndarray] = None,
@@ -454,7 +461,7 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
     ``mask`` [B, T_frames] / ``sample_mask`` [B, S] enable exact-length
     numerics on bucketed inputs.
     """
-    rngs = _RngStream(rng) if rng is not None else None
+    rngs = RngStream(rng) if rng is not None else None
     audio = audio.astype(compute_dtype)
 
     feats = feature_encoder(params, arch, audio, sample_mask=sample_mask,

@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (attention_core, conv1d, dropout, gelu, init_conv1d,
-                     init_layer_norm, init_linear, layer_norm, linear)
+from .layers import (RngStream, attention_core, conv1d, dropout, gelu,
+                     init_conv1d, init_layer_norm, init_linear, layer_norm,
+                     linear)
 
 
 @dataclass(frozen=True)
@@ -120,21 +121,12 @@ def init_whisper_encoder(rng: jax.Array, arch: WhisperArch) -> dict:
     return params
 
 
-class _RngStream:
-    def __init__(self, rng):
-        self._rng = rng
-
-    def pop(self):
-        self._rng, out = jax.random.split(self._rng)
-        return out
-
-
 def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
                    rng: Optional[jax.Array] = None,
                    deterministic: bool = True,
                    compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
     """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D]."""
-    rngs = _RngStream(rng) if rng is not None else None
+    rngs = RngStream(rng) if rng is not None else None
     x = input_features.astype(compute_dtype)
 
     x = gelu(conv1d(params["conv1"], x, padding=1))

@@ -47,11 +47,24 @@ from ..labels import (canonical_to_lang, clean_lab, decode_bio_tags,
                       merge_adjacent_segments)
 from ..metrics import framewise_accuracy, phoneme_error_rate, timing_error_rate
 from ..models.tagger import TaggerArch, apply_tagger, init_tagger
-from ..ops.postprocess import median_filter_ids
 from .losses import (cross_entropy, offset_loss, segmental_loss_value,
                      soft_iou_segmental_loss)
 from .prodigy import prodigy
 from .schedules import get_scheduler
+
+
+def _median_filter_np(ids: np.ndarray, size: int) -> np.ndarray:
+    """Host-side scipy-semantics median filter (symmetric pad, rank
+    size//2) for the validation loop: label lengths are exact (unbucketed),
+    so the jitted device version would re-trace per distinct length and pay
+    the ~32 ms relay dispatch per sample. The serving path keeps the device
+    version (ops.postprocess.median_filter_ids) on its static buckets."""
+    if size <= 1 or ids.size == 0:
+        return ids
+    left = size // 2
+    padded = np.pad(ids, (left, size - 1 - left), mode="symmetric")
+    windows = np.lib.stride_tricks.sliding_window_view(padded, size)
+    return np.sort(windows, axis=-1)[:, size // 2]
 
 
 # ---------------------------------------------------------------------------
@@ -288,8 +301,7 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
             label_len = int(batch["label_lengths"][j])
             ids = pred_ids[j, :label_len]
             if median_size > 1:
-                ids = np.asarray(median_filter_ids(jnp.asarray(ids),
-                                                   median_size))
+                ids = _median_filter_np(ids, median_size)
             tags = [id2label[int(p)] for p in ids]
             segs_pred = decode_bio_tags(tags, frame_duration=frame_duration,
                                         offsets=offsets[j, :label_len])
@@ -434,8 +446,9 @@ def train(config_path: str = "config.yaml",
     tx = make_optimizer(cfg, mask)
     opt_state = tx.init(params)
 
-    scheduler = get_scheduler(cfg.scheduler, cfg.scheduler_params)
     base_lr = cfg.learning_rate
+    scheduler = get_scheduler(cfg.scheduler, cfg.scheduler_params,
+                              base_lr=base_lr)
 
     try:
         from tensorboardX import SummaryWriter
@@ -507,22 +520,25 @@ def train(config_path: str = "config.yaml",
                   f"optimizer fresh: {e}")
             restored = None
         if restored is not None:
-            opt_state, _, rng_np = restored
+            opt_state, _, rng_np, sched_state = restored
             rng = jnp.asarray(rng_np)
             print("[INFO] Restored optimizer state from sidecar")
+            if sched_state:
+                scheduler.load_state_dict(sched_state)
+                print("[INFO] Restored scheduler state from sidecar")
+        else:
+            # No sidecar (reference-written checkpoint, or deleted): the
+            # optimizer must re-anchor to the LOADED params — Prodigy's p0
+            # initial-point reference in particular would otherwise point
+            # at the discarded random init and mis-adapt d.
+            opt_state = tx.init(params)
         # best_loss intentionally resets to inf on resume — reference
         # behavior (quirk Q4, train.py:432-433).
-        # Rebuild the rotation list from the .pt-rooted names, deduped
-        # across on-disk formats (.pt / .pt.npz / .pt.orbax).
-        import re as _re
-        roots = {}
-        for f in os.listdir(save_dir):
-            m = _re.fullmatch(r"model_step(\d+)\.pt(\.npz|\.orbax)?", f)
-            if m:
-                roots[int(m.group(1))] = f"model_step{m.group(1)}.pt"
-        existing = sorted(roots.items())
-        checkpoint_paths = [os.path.join(save_dir, f) for _, f in
-                            existing[-cfg.max_checkpoints:]]
+        # Rotation list: the already-discovered candidates, oldest→newest,
+        # capped at max_checkpoints (same filename contract as discovery).
+        checkpoint_paths = [p for p, _ in
+                            sorted(candidates, key=lambda c: c[1])
+                            ][-cfg.max_checkpoints:]
     else:
         print("Training start")
 
@@ -653,7 +669,8 @@ def train(config_path: str = "config.yaml",
                 save_model_checkpoint(model_path, params, model_state, arch,
                                       fmt=ckpt_fmt)
                 save_train_state(model_path, opt_state, step,
-                                 np.asarray(rng))
+                                 np.asarray(rng),
+                                 scheduler_state=scheduler.state_dict())
                 checkpoint_paths.append(model_path)
                 if len(checkpoint_paths) > cfg.max_checkpoints:
                     remove_checkpoint(checkpoint_paths.pop(0))

@@ -45,6 +45,20 @@ class Scheduler:
             self.last_epoch += 1
         self.factor = self.get_factor()
 
+    # Persisted in the training sidecar so resume continues the LR curve
+    # exactly (the reference persists nothing — quirk Q4 — but our sidecar
+    # advertises exact optimizer resume, and a cosine/warmup restarting at
+    # epoch 0 mid-run is a silent schedule shift).
+    _STATE_KEYS = ("last_epoch", "factor")
+
+    def state_dict(self) -> dict:
+        return {k: getattr(self, k) for k in self._STATE_KEYS}
+
+    def load_state_dict(self, state: dict) -> None:
+        for k in self._STATE_KEYS:
+            if k in state:
+                setattr(self, k, type(getattr(self, k))(state[k]))
+
 
 class ConstantLR(Scheduler):
     """reference lr_schedulers.py:5-10."""
@@ -219,6 +233,10 @@ class ReduceLROnPlateau(Scheduler):
         return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric_or_epoch: Optional[float] = None) -> None:
+        # Exact torch ordering: best updates on improvement regardless of
+        # cooldown; the cooldown counter decrements EVERY metric step while
+        # active (and suppresses bad-epoch accumulation); the reduction
+        # check runs after.
         self.last_epoch += 1
         if metric_or_epoch is None:
             return
@@ -226,16 +244,29 @@ class ReduceLROnPlateau(Scheduler):
         if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.factor = max(self.factor * self.reduce_factor,
-                                  self.min_factor)
-                self.cooldown_counter = self.cooldown
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.factor = max(self.factor * self.reduce_factor,
+                              self.min_factor)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
+
+    _STATE_KEYS = ("last_epoch", "factor", "cooldown_counter", "num_bad")
+
+    def state_dict(self) -> dict:
+        state = {k: getattr(self, k) for k in self._STATE_KEYS}
+        state["best"] = math.nan if self.best is None else self.best
+        return state
+
+    def load_state_dict(self, state: dict) -> None:
+        super().load_state_dict(state)  # covers _STATE_KEYS (all numeric)
+        if "best" in state:
+            b = float(state["best"])
+            self.best = None if math.isnan(b) else b
 
 
 _REGISTRY: Dict[str, Type[Scheduler]] = {
@@ -252,10 +283,21 @@ _REGISTRY: Dict[str, Type[Scheduler]] = {
 }
 
 
-def get_scheduler(name: str, params: Optional[dict] = None) -> Scheduler:
-    """Name-based lookup (reference lr_schedulers.py:22-36)."""
-    params = params or {}
+def get_scheduler(name: str, params: Optional[dict] = None,
+                  base_lr: float = 1.0) -> Scheduler:
+    """Name-based lookup (reference lr_schedulers.py:22-36).
+
+    ``base_lr``: the config's learning_rate. torch's ``eta_min``
+    (CosineAnnealing*) and ``min_lr`` (ReduceLROnPlateau) are ABSOLUTE
+    learning rates; our schedulers produce factors of base_lr, so those
+    params are converted here — a reference YAML keeps its exact LR floor.
+    """
+    params = dict(params or {})
     if name not in _REGISTRY:
         raise ValueError(
             f"Scheduler '{name}' not found (available: {sorted(_REGISTRY)})")
+    if base_lr > 0:
+        for key in ("eta_min", "min_lr"):
+            if key in params:
+                params[key] = float(params[key]) / float(base_lr)
     return _REGISTRY[name](**params)
