@@ -54,6 +54,46 @@ def test_batched_folder_matches_per_file(reference_tagger_module, tmp_path):
             open(os.path.join(out_c, f"u{i}.lab")).read()
 
 
+def test_negative_lang_id_raises(reference_tagger_module, tmp_path):
+    """Negative lang_id must raise like the reference's torch embedding —
+    JAX's traced gather would clamp it to language 0 and silently emit
+    wrong labels (r3 review: only the upper bound was checked)."""
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", "neglang")
+    rng = np.random.RandomState(2)
+    wav = str(tmp_path / "neg.wav")
+    write_wav(wav, rng.randn(8000) * 0.4, 16000)
+    _our_session(config_path, ckpt_path, "none", labels)
+    from wfl_asr_tpu.infer import infer_audio, infer_folder_batched
+    with pytest.raises(ValueError, match="invalid"):
+        infer_audio(wav, config_path, ckpt_path, lang_id=-2)
+    folder = tmp_path / "negf"
+    folder.mkdir()
+    write_wav(str(folder / "a.wav"), rng.randn(8000) * 0.4, 16000)
+    with pytest.raises(ValueError, match="invalid"):
+        infer_folder_batched(str(folder), config_path, ckpt_path,
+                             str(tmp_path / "nego"), lang_id=-2)
+
+
+def test_empty_audio_zero_frames(reference_tagger_module, tmp_path):
+    """A zero-length (or sub-receptive-field) input yields zero frames, not
+    t_pad-1 frames of masked garbage (wavlm feature_lengths(0) == -1 used
+    as a slice end kept everything but the last row)."""
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", "emptyaud")
+    session = _our_session(config_path, ckpt_path, "none", labels)
+    assert session.num_frames_for(0) == 0
+    logits, offsets = session.forward(np.zeros(0, np.float32), [0])
+    assert logits.shape[1] == 0 and offsets.shape[1] == 0
+
+    # wavlm arithmetic: the raw recurrence goes negative below one
+    # receptive field — num_frames_for is what clamps it
+    from wfl_asr_tpu.models.wavlm import WavLMArch
+    assert WavLMArch().feature_lengths(0) < 0
+
+
 def test_batched_folder_lang_averaging(reference_tagger_module, tmp_path):
     ref_model, _, _ = reference_tagger_module
     labels, config, config_path, ckpt_path, _ = _setup_run(

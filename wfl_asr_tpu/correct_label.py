@@ -113,7 +113,7 @@ def correct_lab_boundaries(wav_path: str, predicted_boundaries: List[float],
         return snapped, original
 
     used = set()
-    with open(lab_path, "r") as f:
+    with open(lab_path, "r", encoding="utf-8") as f:
         for line in f:
             fields = line.strip().split()
             if len(fields) != 3:
@@ -146,7 +146,7 @@ def correct_lab_boundaries(wav_path: str, predicted_boundaries: List[float],
 def write_predicted_boundaries(wav_path: str, boundaries: List[float],
                                out_path: Optional[str] = None) -> None:
     path = out_path or wav_path.replace(".wav", "_boundary.txt")
-    with open(path, "w") as f:
+    with open(path, "w", encoding="utf-8") as f:
         for t in boundaries:
             f.write(f"{t:.6f}\n")
 
@@ -154,7 +154,7 @@ def write_predicted_boundaries(wav_path: str, boundaries: List[float],
 def load_predicted_boundaries(wav_path: str) -> Optional[List[float]]:
     path = wav_path.replace(".wav", "_boundary.txt")
     if os.path.exists(path):
-        with open(path, "r") as f:
+        with open(path, "r", encoding="utf-8") as f:
             return [float(line.strip()) for line in f if line.strip()]
     return None
 
@@ -162,7 +162,7 @@ def load_predicted_boundaries(wav_path: str) -> Optional[List[float]]:
 def write_lab(wav_path: str, boundaries, save_over: bool = True,
               out_path: Optional[str] = None) -> None:
     path = out_path or wav_path.replace(".wav", ".lab")
-    with open(path, "w") as f:
+    with open(path, "w", encoding="utf-8") as f:
         for start, end, label in boundaries:
             f.write(f"{int(start * 1e7)} {int(end * 1e7)} {label}\n")
 

@@ -175,9 +175,26 @@ class BatchLoader:
             np.random.RandomState(hash((self.seed, epoch)) % (2 ** 31)) \
                 .shuffle(order)
 
+        stop = threading.Event()
+
+        def put(out_q: queue.Queue, item) -> bool:
+            # Bounded put that honors cancellation: the consumer may abandon
+            # the generator mid-epoch (max_steps, Q10 loader restarts), and
+            # a plain blocking put would leave this thread pinned forever on
+            # the full queue holding collated batches.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(out_q: queue.Queue):
             try:
                 for start in range(0, len(order), self.batch_size):
+                    if stop.is_set():
+                        return
                     chunk = order[start:start + self.batch_size]
                     if self.drop_last and len(chunk) < self.batch_size:
                         break
@@ -186,19 +203,24 @@ class BatchLoader:
                         rng = np.random.RandomState(
                             hash((self.seed, epoch, idx)) % (2 ** 31))
                         items.append(self.dataset.get_item(idx, rng))
-                    out_q.put(collate(items, self.frame_duration))
+                    if not put(out_q, collate(items, self.frame_duration)):
+                        return
             except Exception as exc:  # surface loader errors to the consumer
-                out_q.put(exc)
-            out_q.put(None)
+                put(out_q, exc)
+            put(out_q, None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         thread = threading.Thread(target=produce, args=(q,), daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        self.epoch = epoch + 1
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            self.epoch = epoch + 1
+        finally:
+            # GeneratorExit (abandoned epoch) or error: release the producer.
+            stop.set()

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..data.audio import peak_normalize, read_wav, resample
+from ..data.audio import peak_normalize, read_wav, resample, wav_duration
 from ..labels import (Segment, align_phoneme_list, canonical_to_lang,
                       load_langs, load_phoneme_list, load_phoneme_merge_map,
                       merge_adjacent_segments, save_lab)
@@ -193,13 +193,16 @@ class InferenceSession:
 
     def num_frames_for(self, num_samples: int) -> int:
         """Frame count the reference model would emit for this exact length
-        (model called without max_label_len at inference)."""
+        (model called without max_label_len at inference). Clamped at 0:
+        wavlm's floor((L-k)/s)+1 recurrence goes NEGATIVE below one
+        receptive field (e.g. L=0 → −1), and a negative t_ref used as a
+        slice end would silently keep t_pad−1 garbage frames."""
         if self.arch.encoder_type == "whisper":
             return self.arch.whisper.max_source_positions
         if self.arch.encoder_type == "wavlm":
-            return self.arch.wavlm.feature_lengths(num_samples)
+            return max(self.arch.wavlm.feature_lengths(num_samples), 0)
         hop = int(self.arch.frame_duration * self.sr)
-        return num_samples // hop + 1
+        return num_samples // hop + 1 if num_samples > 0 else 0
 
     def warmup(self, durations_s: Sequence[float] = (30.0,),
                num_langs: int = 1) -> None:
@@ -225,6 +228,11 @@ class InferenceSession:
         bucket = max(int(np.ceil(s_true / (BUCKET_SECONDS * self.sr))), 1) \
             * int(BUCKET_SECONDS * self.sr)
         t_ref = self.num_frames_for(s_true)
+        if t_ref == 0:
+            # Empty/sub-receptive-field input: zero frames, no device call
+            # (the forward would only produce masked garbage to slice away).
+            return (np.zeros((L, 0, self.arch.num_labels), np.float32),
+                    np.zeros((L, 0, 2), np.float32))
 
         precentered = False
         if self.arch.encoder_type == "none":
@@ -411,7 +419,12 @@ def _predict_segment(session: InferenceSession, segment: np.ndarray,
 
     if logits is None:
         if lang_id is not None:
-            if session.lang2id and lang_id > max(session.lang2id.values()):
+            if lang_id < 0 or (session.lang2id
+                               and lang_id > max(session.lang2id.values())):
+                # Both sides: the traced embedding gather CLAMPS
+                # out-of-range ids (negative ones land on language 0), so
+                # without this check a bad id silently emits wrong labels;
+                # the reference's torch embedding raises (infer.py:257-259).
                 raise ValueError(
                     f"Language ID {lang_id} is invalid. "
                     f"Available: {session.lang2id}")
@@ -621,11 +634,12 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
     median_size = session.cfg.median_filter
     lang_suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
     lang_name = _lang_name_for(session, lang_id)
-    if lang_id is not None and session.lang2id \
-            and lang_id > max(session.lang2id.values()):
+    if lang_id is not None and (
+            lang_id < 0 or (session.lang2id
+                            and lang_id > max(session.lang2id.values()))):
         # Same validation as _predict_segment / reference infer.py:257-259 —
-        # otherwise jnp.take clamps the embedding gather and silently emits
-        # wrong labels.
+        # otherwise jnp.take clamps the embedding gather (negative ids land
+        # on language 0) and silently emits wrong labels.
         raise ValueError(f"Language ID {lang_id} is invalid. "
                          f"Available: {session.lang2id}")
     langs = ([lang_id] if lang_id is not None
@@ -641,26 +655,27 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
         save_lab(os.path.join(output_dir, name.replace(".wav", ".lab")),
                  segments)
 
+    def flush(group):
+        results = session.forward_many([g[1] for g in group],
+                                       [langs] * len(group))
+        for (name, _audio, logit_path, offset_path), (lg, off) in \
+                zip(group, results):
+            logits = lg.mean(axis=0)
+            offsets = off.mean(axis=0)
+            _cache_save(logit_path, logits)
+            _cache_save(offset_path, offsets)
+            finish(name, _decode_segment(session, logits, offsets,
+                                         confidence_threshold, median_size,
+                                         lang_name))
+
+    # Cache and duration gates run BEFORE any sample decode (warm-cache
+    # reruns touch only headers), and each batch_files-sized group flushes
+    # as soon as it is full — memory stays bounded at one group of
+    # waveforms and I/O overlaps device compute on large folders.
     pending = []  # (name, audio, logit_path, offset_path)
     for name in sorted(f for f in os.listdir(folder_path)
                        if f.lower().endswith(".wav")):
         path = os.path.join(folder_path, name)
-        audio, sr = read_wav(path)
-        if audio.ndim > 1:
-            audio = audio.mean(axis=1)
-        if sr != session.sr:
-            audio = resample(audio, sr, session.sr)
-        if len(audio) > 0:
-            audio = peak_normalize(audio, eps=1e-8)
-
-        if len(audio) / session.sr > MAX_SEGMENT_DURATION:
-            infer_audio(path, config_path, checkpoint_path,
-                        os.path.join(output_dir,
-                                     name.replace(".wav", ".lab")),
-                        lang_id=lang_id,
-                        confidence_threshold=confidence_threshold)
-            continue
-
         cache_dir = os.path.join(folder_path, ".wfl_cache")
         os.makedirs(cache_dir, exist_ok=True)
         base = os.path.splitext(name)[0]
@@ -674,22 +689,30 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
                 session, cached, _squeeze_batch(_cache_load(offset_path)),
                 confidence_threshold, median_size, lang_name))
             continue
+
+        n_samples, sr_hdr = wav_duration(path)   # header only, no decode
+        if n_samples / sr_hdr > MAX_SEGMENT_DURATION:
+            infer_audio(path, config_path, checkpoint_path,
+                        os.path.join(output_dir,
+                                     name.replace(".wav", ".lab")),
+                        lang_id=lang_id,
+                        confidence_threshold=confidence_threshold)
+            continue
+
+        audio, sr = read_wav(path)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != session.sr:
+            audio = resample(audio, sr, session.sr)
+        if len(audio) > 0:
+            audio = peak_normalize(audio, eps=1e-8)
         pending.append((name, np.asarray(audio, np.float32),
                         logit_path, offset_path))
-
-    for start in range(0, len(pending), batch_files):
-        group = pending[start:start + batch_files]
-        results = session.forward_many([g[1] for g in group],
-                                       [langs] * len(group))
-        for (name, _audio, logit_path, offset_path), (lg, off) in \
-                zip(group, results):
-            logits = lg.mean(axis=0)
-            offsets = off.mean(axis=0)
-            _cache_save(logit_path, logits)
-            _cache_save(offset_path, offsets)
-            finish(name, _decode_segment(session, logits, offsets,
-                                         confidence_threshold, median_size,
-                                         lang_name))
+        if len(pending) >= batch_files:
+            flush(pending)
+            pending = []
+    if pending:
+        flush(pending)
 
 
 def infer_folder(folder_path: str, config_path: str = "config.yaml",

@@ -44,7 +44,10 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, audio_seconds: float = 0.0) -> float:
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() without a matching start()")
         dt = time.perf_counter() - self._t0
+        self._t0 = None  # catch unpaired stop() calls
         self.avg = dt if self.avg is None else \
             self.ema * self.avg + (1 - self.ema) * dt
         self.audio_seconds += audio_seconds
