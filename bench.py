@@ -83,47 +83,55 @@ def main() -> None:
             params["encoder"], arch.wavlm, t_frames)
         jax.block_until_ready(pos_bias)
 
-    @jax.jit
-    def infer(params, state, audio, lang_ids, pos_bias):
-        logits, offsets, _ = apply_tagger(params, state, arch, audio,
-                                          lang_ids,
-                                          compute_dtype=compute_dtype,
-                                          precomputed_pos_bias=pos_bias)
-        ids = confidence_gate_ids(logits, jnp.float32(0.5), 0)
-        ids = median_filter_ids(ids, 3)
-        return ids, offsets
-
     rng = np.random.RandomState(0)
     audio = (rng.randn(batch, samples) * 0.1).astype(np.float32)
     lang_ids = np.zeros(batch, np.int32)
 
     # WFL_BENCH_DP=1: shard batch rows over all visible devices (identical
     # math, rows on the mesh 'data' axis — the serving-path DP story).
+    # The mesh must ALSO reach apply_tagger: the Pallas kernels are not
+    # GSPMD-partitionable and only run on sharded operands via their
+    # shard_map wrappers (same as InferenceSession._forward_impl).
+    mesh = None
     if os.environ.get("WFL_BENCH_DP") == "1" and len(jax.devices()) > 1:
-        from wfl_asr_tpu.parallel import (batch_sharding, make_mesh,
-                                          replicate)
+        from wfl_asr_tpu.parallel import make_mesh, replicate, shard_batch
         mesh = make_mesh()
         log(f"data parallel over mesh {dict(mesh.shape)}")
+        if batch % mesh.shape["data"]:
+            raise SystemExit(
+                f"WFL_BENCH_BATCH={batch} must divide the data axis "
+                f"({mesh.shape['data']}) so RTFx counts only real rows")
         params = replicate(params, mesh)
         state = replicate(state, mesh)
         pos_bias = replicate(pos_bias, mesh)
-        audio = jax.device_put(audio, batch_sharding(mesh, 2))
-        lang_ids = jax.device_put(lang_ids, batch_sharding(mesh, 1))
+        sharded = shard_batch({"audio": audio, "lang_ids": lang_ids}, mesh)
+        audio, lang_ids = sharded["audio"], sharded["lang_ids"]
     else:
         audio = jnp.asarray(audio)
         lang_ids = jnp.asarray(lang_ids)
 
-    log("compiling...")
-    t0 = time.time()
-    out = infer(params, state, audio, lang_ids, pos_bias)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    @jax.jit
+    def infer(params, state, audio, lang_ids, pos_bias):
+        logits, offsets, _ = apply_tagger(params, state, arch, audio,
+                                          lang_ids,
+                                          compute_dtype=compute_dtype,
+                                          precomputed_pos_bias=pos_bias,
+                                          mesh=mesh)
+        ids = confidence_gate_ids(logits, jnp.float32(0.5), 0)
+        ids = median_filter_ids(ids, 3)
+        return ids, offsets
 
     def hard_sync(out):
         # On the experimental axon platform block_until_ready does not
         # reliably block; a device→host transfer of the result forces true
         # completion (the ids array is ~100 KB — negligible).
         np.asarray(out[0])
+
+    log("compiling...")
+    t0 = time.time()
+    out = infer(params, state, audio, lang_ids, pos_bias)
+    hard_sync(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
 
     # Latency: one synchronous step.
     times = []

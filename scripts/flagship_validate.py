@@ -72,9 +72,12 @@ def parity():
                                                 whisper_encode)
         from wfl_asr_tpu.models.convert import convert_whisper_encoder
 
+        pre_small = whisper_arch_from_name("openai/whisper-small")
         hf_cfg = WhisperConfig(
-            d_model=768, encoder_layers=12, encoder_attention_heads=12,
-            encoder_ffn_dim=3072, num_mel_bins=80, max_source_positions=1500,
+            d_model=pre_small.d_model, encoder_layers=pre_small.num_layers,
+            encoder_attention_heads=pre_small.num_heads,
+            encoder_ffn_dim=pre_small.ffn_dim,
+            num_mel_bins=pre_small.num_mel_bins, max_source_positions=1500,
             dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
             decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=64)
         torch.manual_seed(0)
@@ -192,5 +195,7 @@ def rtfx():
 
 if MODE == "parity":
     parity()
-else:
+elif MODE == "rtfx":
     rtfx()
+else:
+    raise SystemExit(f"Unknown mode {MODE!r}: use 'parity' or 'rtfx'")

@@ -361,9 +361,13 @@ def test_maybe_initialize_distributed_propagates_real_failures():
 
 
 def test_maybe_initialize_distributed_valueerror_latches():
-    """The unresolvable-coordinator ValueError degrades to single-process
-    AND latches — the warning must not re-print on every session/train
-    call."""
+    """A heuristic-only trip (multi-host TPU_WORKER_HOSTNAMES, no explicit
+    coordinator var) with an unresolvable coordinator degrades to
+    single-process AND latches — the warning must not re-print on every
+    session/train call. With an EXPLICIT coordinator var the same
+    ValueError is a configuration error and must propagate (degrading
+    would silently train N hosts unsynced)."""
+    import pytest
     from wfl_asr_tpu.parallel import mesh as mesh_mod
 
     calls = []
@@ -375,11 +379,17 @@ def test_maybe_initialize_distributed_valueerror_latches():
     orig = mesh_mod._dist_initialized
     try:
         mesh_mod._dist_initialized = False
-        env = {"JAX_COORDINATOR_ADDRESS": "nowhere"}
+        env = {"TPU_WORKER_HOSTNAMES": "host-0,host-1"}
         assert mesh_mod.maybe_initialize_distributed(
             env=env, _initialize=no_coordinator) is False
         assert mesh_mod.maybe_initialize_distributed(
             env=env, _initialize=no_coordinator) is False
         assert calls == [1]
+
+        mesh_mod._dist_initialized = False
+        with pytest.raises(ValueError, match="coordinator_address"):
+            mesh_mod.maybe_initialize_distributed(
+                env={"JAX_COORDINATOR_ADDRESS": "nowhere"},
+                _initialize=no_coordinator)
     finally:
         mesh_mod._dist_initialized = orig

@@ -72,6 +72,7 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
         return False
     init = _initialize if _initialize is not None else \
         jax.distributed.initialize
+    explicit = any(v in env for v in _CLUSTER_ENV_VARS)
     try:
         init()
     except RuntimeError as e:
@@ -82,10 +83,15 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
         if "already initialized" not in str(e):
             raise
     except ValueError as e:
-        # Env vars looked multi-host but auto-detection could not resolve
-        # a coordinator — degrade to single-process rather than killing
-        # the run (the reference trains single-device unconditionally).
-        # Latch so the warning prints once, not per _get_session call.
+        if explicit:
+            # The user explicitly pointed at a coordinator; an unresolvable
+            # cluster is a configuration error, and degrading would be the
+            # same silent N-independent-trainings hazard as above.
+            raise
+        # Heuristic trip only (TPU_WORKER_HOSTNAMES listing several hosts,
+        # e.g. a metadata server mirroring another pod): degrade to
+        # single-process rather than killing the run. Latch so the warning
+        # prints once, not per _get_session call.
         print(f"[WARN] jax.distributed.initialize skipped: {e}")
         _dist_initialized = True
         return False
