@@ -55,7 +55,9 @@ def test_find_resume(tmp_path):
     assert found is not None
     path, step = found
     assert step == 20 and path.endswith("model_step20.pt")
-    assert find_resume_checkpoint(str(tmp_path / "..")) is None or True
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert find_resume_checkpoint(str(empty)) is None
 
 
 def test_find_resume_orbax_and_rotation(tmp_path):

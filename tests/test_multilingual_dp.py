@@ -52,9 +52,14 @@ def test_multilingual_dp_train_and_infer(tmp_path):
                        output_lab_path=out, lang_id=1,
                        confidence_threshold=0.0)
     assert os.path.exists(out)
-    # canonical→lang mapping applied: "A" must appear as "a" for ja
+    # canonical→lang mapping applied: "A" must appear as "a" for ja.
+    # The absence check alone is vacuous if the 2-step model never emits
+    # an A-tagged segment, so pin the mapping positively as well.
     phs = {ph for _, _, ph in segs}
     assert "A" not in phs
+    from wfl_asr_tpu.labels import canonical_to_lang
+    assert canonical_to_lang("A", "ja", merge_map) == "a"
+    assert canonical_to_lang("A", "en", merge_map) == "ae"
 
     segs_avg = infer_audio(wav, os.path.join(save_dir, "config.yaml"),
                            os.path.join(save_dir, "best_model.pt"),

@@ -226,7 +226,8 @@ def test_tensor_parallel_matches_replicated():
     g_tp = jax.jit(jax.grad(loss))(p_tp)
     leaf_rep = jax.tree_util.tree_leaves(g_rep)
     leaf_tp = jax.tree_util.tree_leaves(g_tp)
-    for a, b in list(zip(leaf_rep, leaf_tp))[:20]:
+    assert len(leaf_rep) == len(leaf_tp)
+    for a, b in zip(leaf_rep, leaf_tp):  # EVERY leaf, incl. heads/classifier
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-3)
 

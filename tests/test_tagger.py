@@ -179,7 +179,7 @@ def test_tagger_full_parity(reference_tagger_module, encoder_type):
     audio[0] = rng.randn(12800) * 0.4
     audio[1, :6400] = rng.randn(6400) * 0.4
     lang_ids = np.array([0, 2])
-    max_label_len = 40 if encoder_type != "whisper" else 40
+    max_label_len = 40
 
     with torch.no_grad():
         ref_logits, ref_offsets = ref(torch.tensor(audio),

@@ -472,8 +472,17 @@ def test_train_end_to_end(tmp_path):
     config2["training"]["max_steps"] = 8
     yaml.dump(config2, open(cfg_path, "w"), sort_keys=False)
     train(cfg_path)
-    assert any(f.startswith("model_step8") for f in os.listdir(save_dir)) or \
-        os.path.exists(os.path.join(save_dir, "last_model.pt"))
+    # The resume run must actually CONTINUE from step 6 to 8. No step-8
+    # checkpoint exists (val_check_interval=3 → checkpoints at 3/6 only),
+    # so pin continuation via the structured metrics log: train events for
+    # steps 7 and 8 logged, and no second pass over steps ≤ 6.
+    import json as _json
+    events = [(e["event"], e["step"]) for e in
+              (_json.loads(l) for l in
+               open(os.path.join(save_dir, "metrics.jsonl")))]
+    train_steps = [s for ev, s in events if ev == "train"]
+    assert 7 in train_steps and 8 in train_steps
+    assert train_steps.count(6) == 1  # step 6 trained once (before resume)
 
     # A torn NEWEST step checkpoint falls back to the previous good one
     # (atomic writes prevent new torn files; this covers pre-existing ones).
