@@ -51,14 +51,18 @@ def main() -> None:
 
     import dataclasses
     encoder = os.environ.get("WFL_BENCH_ENCODER", "wavlm")
+    # WFL_BENCH_TINY=1: tiny arch for CI smoke runs of the bench plumbing
+    # (DP placement, kernel flags, sync logic) on the CPU mesh — the
+    # RTFx it prints is meaningless.
+    tiny = os.environ.get("WFL_BENCH_TINY") == "1"
     if encoder == "whisper":
         from wfl_asr_tpu.models.whisper import whisper_arch_from_name
         wh = whisper_arch_from_name("openai/whisper-base")
         arch = dataclasses.replace(
-            graft._flagship_arch(tiny=False), encoder_type="whisper",
+            graft._flagship_arch(tiny=tiny), encoder_type="whisper",
             hidden_size=wh.d_model, wavlm=None, whisper=wh)
     else:
-        arch = graft._flagship_arch(tiny=False)
+        arch = graft._flagship_arch(tiny=tiny)
     if dev.platform == "tpu":
         arch = dataclasses.replace(arch, use_flash_attention=True)
         if arch.wavlm is not None:
