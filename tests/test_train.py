@@ -635,6 +635,105 @@ def test_soft_iou_segmental_loss():
     assert float(loss(lg)) < l1 - 0.1
 
 
+def test_grad_accumulation_matches_fused_step():
+    """N accumulated micro-batches == one fused step on the concatenated
+    batch, exactly, when the decomposition is clean: equal micro sizes,
+    every label valid, equal off_valid counts, no dropout, no BatchNorm
+    (conformer_layers=0 — BN would use different batch statistics)."""
+    import dataclasses
+    from wfl_asr_tpu.models.tagger import TaggerArch, init_tagger
+    from wfl_asr_tpu.train.loop import (_accumulate_grads, make_accum_apply,
+                                        make_grad_step, make_train_step)
+    import optax
+
+    arch = TaggerArch(encoder_type="none", num_labels=5, num_languages=2,
+                      hidden_size=80, lang_emb_dim=8, enable_bilstm=True,
+                      bilstm_num_layers=1, num_conformer_layers=0,
+                      enable_dilated_conv=True, dilated_depth=1,
+                      dilated_kernel=3)
+    params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    tx = optax.sgd(0.1)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    b, s, t = 4, 4000, 20
+    audio = (rng.randn(b, s) * 0.1).astype(np.float32)
+    labels = rng.randint(0, arch.num_labels, (b, t)).astype(np.int64)
+    lang_ids = np.zeros(b, np.int32)
+    off_f = rng.randint(0, t, (b, 4)).astype(np.int32)
+    off_c = rng.randint(0, 2, (b, 4)).astype(np.int32)
+    off_x = rng.rand(b, 4).astype(np.float32)
+    off_v = np.ones((b, 4), bool)
+    key = jax.random.PRNGKey(1)
+
+    with jax.default_matmul_precision("highest"):
+        fused = make_train_step(arch, 0.1, 3.0, tx)
+        p_fused, *_ = fused(params, state, opt_state, key,
+                            jnp.asarray(audio), jnp.asarray(labels),
+                            jnp.asarray(lang_ids), jnp.asarray(off_f),
+                            jnp.asarray(off_c), jnp.asarray(off_x),
+                            jnp.asarray(off_v), max_label_len=t)
+
+        params2, state2 = init_tagger(jax.random.PRNGKey(0), arch)
+        opt2 = tx.init(params2)
+        gstep = make_grad_step(arch, 0.1, 3.0)
+        apply_step = make_accum_apply(tx)
+        grad_sum = None
+        for lo, hi in ((0, 2), (2, 4)):
+            grads, state2, m, _, _ = gstep(
+                params2, state2, key,
+                jnp.asarray(audio[lo:hi]), jnp.asarray(labels[lo:hi]),
+                jnp.asarray(lang_ids[lo:hi]), jnp.asarray(off_f[lo:hi]),
+                jnp.asarray(off_c[lo:hi]), jnp.asarray(off_x[lo:hi]),
+                jnp.asarray(off_v[lo:hi]), max_label_len=t)
+            grad_sum = (jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
+                if grad_sum is None else _accumulate_grads(grad_sum, grads))
+        p_acc, _ = apply_step(params2, opt2, grad_sum, 2)
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(p_fused),
+                     jax.tree_util.tree_leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_train_driver_grad_accumulation(tmp_path):
+    """training.grad_accumulation=2 end to end: `step` counts optimizer
+    updates (max_steps reached with 2x the loader batches consumed)."""
+    import json as _json
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    import random as pyrandom
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(13)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=8)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "none", "enable_bilstm": False,
+        "num_conformer_layers": 1, "conformer_heads": 2,
+        "conformer_ff_expansion": 2, "conformer_kernel_size": 31,
+        "lang_emb_dim": 8,
+    })
+    config["training"].update({
+        "batch_size": 2, "optimizer": "AdamW", "learning_rate": 1e-3,
+        "scheduler": "ConstantLR", "label_smoothing": 0.1,
+        "max_steps": 2, "val_check_interval": 2, "max_checkpoints": 1,
+        "seed": 0, "grad_accumulation": 2, "data_parallel": False,
+    })
+    run_preprocess(data_dir, config)
+    train(os.path.join(save_dir, "config.yaml"))
+
+    assert os.path.exists(os.path.join(save_dir, "best_model.pt"))
+    events = [_json.loads(l) for l in
+              open(os.path.join(save_dir, "metrics.jsonl"))]
+    train_steps = [e["step"] for e in events if e["event"] == "train"]
+    assert train_steps == [1, 2]  # optimizer updates, not micro-batches
+
+
 def test_train_step_with_differentiable_segmental(tmp_path):
     """seg_diff_weight wires into the jitted train step (loss shifts, step
     runs, params update)."""

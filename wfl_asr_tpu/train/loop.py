@@ -186,6 +186,59 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
     return train_step
 
 
+def make_grad_step(arch: TaggerArch, label_smoothing: float,
+                   subframe_weight: float, compute_dtype=jnp.float32,
+                   seg_diff_weight: float = 0.0, mesh=None):
+    """Micro-batch gradient computation for gradient accumulation
+    (training.grad_accumulation > 1): same loss as make_train_step but
+    returns grads instead of applying them. Params are NOT donated (reused
+    across micro-batches)."""
+    @functools.partial(jax.jit, static_argnames=("max_label_len",),
+                       donate_argnames=("model_state",))
+    def grad_step(params, model_state, rng, audio, labels,
+                  lang_ids, off_f, off_c, off_x, off_v,
+                  max_label_len: int):
+        def loss_fn(p):
+            logits, offsets, new_state = apply_tagger(
+                p, model_state, arch, audio, lang_ids,
+                max_label_len=max_label_len, rng=rng, train=True,
+                compute_dtype=compute_dtype, mesh=mesh)
+            ce = cross_entropy(logits, labels, label_smoothing)
+            ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
+            loss = ce + subframe_weight * ol
+            if seg_diff_weight:
+                loss = loss + seg_diff_weight * soft_iou_segmental_loss(
+                    logits, labels)
+            return loss, (new_state, ce, ol, logits, offsets)
+
+        (loss, (new_state, ce, ol, logits, offsets)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        metrics = {"loss": loss, "ce": ce, "offset_loss": ol}
+        return grads, new_state, metrics, pred_ids, offsets
+
+    return grad_step
+
+
+def make_accum_apply(tx):
+    """Average accumulated grads and apply one optimizer update."""
+    @functools.partial(jax.jit, static_argnames=("n_micro",),
+                       donate_argnames=("params", "opt_state", "grad_sum"))
+    def apply_step(params, opt_state, grad_sum, n_micro: int):
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, grad_sum)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state
+
+    return apply_step
+
+
+@functools.partial(jax.jit, donate_argnames=("grad_sum",))
+def _accumulate_grads(grad_sum, grads):
+    """f32 running sum of micro-batch gradients (donated accumulator)."""
+    return jax.tree_util.tree_map(
+        lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
+
+
 def make_eval_step(arch: TaggerArch, label_smoothing: float, mesh=None):
     @functools.partial(jax.jit, static_argnames=("max_label_len",))
     def eval_step(params, model_state, audio, labels, lang_ids,
@@ -476,6 +529,22 @@ def train(config_path: str = "config.yaml",
         compute_dtype=compute_dtype,
         seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh)
+    # training.grad_accumulation: N micro-batches per optimizer update
+    # (effective batch = N × batch_size; torch-convention semantics —
+    # the applied gradient is the mean of per-micro-batch mean-loss
+    # gradients, and `step`/scheduler count optimizer UPDATES). N == 1
+    # keeps the fused single-step path untouched.
+    accum_steps = int(cfg.raw.get("training", {}).get(
+        "grad_accumulation", 1))
+    if accum_steps > 1:
+        grad_step = make_grad_step(
+            arch, cfg.label_smoothing, cfg.subframe_loss_weight,
+            compute_dtype=compute_dtype,
+            seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
+        apply_step = make_accum_apply(tx)
+        print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
+              f"per update (effective batch "
+              f"{accum_steps * cfg.batch_size})")
 
     step = 0
     best_loss = float("inf")
@@ -624,6 +693,11 @@ def train(config_path: str = "config.yaml",
     from ..utils.profiling import maybe_trace
     profile_ctx = maybe_trace("train")
     profile_ctx.__enter__()
+    # Gradient-accumulation carry (survives epoch boundaries so no
+    # micro-batch is dropped; discarded only when max_steps ends training).
+    grad_sum = None
+    metric_sum = None
+    micro_count = 0
     while step < cfg.max_steps:
         epoch_ran = False
         for batch in train_loader.epoch_batches(epoch):
@@ -643,13 +717,38 @@ def train(config_path: str = "config.yaml",
                           for k in ("audio", "labels", "lang_ids",
                                     "off_frames", "off_channels",
                                     "off_fracs", "off_valid")}
-            params, model_state, opt_state, metrics, pred_ids, offsets = \
-                train_step(params, model_state, opt_state, step_rng,
-                           arrays["audio"], arrays["labels"],
-                           arrays["lang_ids"], arrays["off_frames"],
-                           arrays["off_channels"], arrays["off_fracs"],
-                           arrays["off_valid"],
-                           max_label_len=batch["max_label_len"])
+            if accum_steps > 1:
+                grads, model_state, m, pred_ids, offsets = grad_step(
+                    params, model_state, step_rng,
+                    arrays["audio"], arrays["labels"],
+                    arrays["lang_ids"], arrays["off_frames"],
+                    arrays["off_channels"], arrays["off_fracs"],
+                    arrays["off_valid"],
+                    max_label_len=batch["max_label_len"])
+                if grad_sum is None:
+                    grad_sum = jax.tree_util.tree_map(
+                        lambda g: g.astype(jnp.float32), grads)
+                    metric_sum = m
+                else:
+                    grad_sum = _accumulate_grads(grad_sum, grads)
+                    metric_sum = {k: metric_sum[k] + m[k] for k in m}
+                micro_count += 1
+                if micro_count < accum_steps:
+                    continue  # no optimizer update yet
+                params, opt_state = apply_step(params, opt_state,
+                                               grad_sum, micro_count)
+                metrics = {k: v / micro_count for k, v in metric_sum.items()}
+                grad_sum = None
+                metric_sum = None
+                micro_count = 0
+            else:
+                params, model_state, opt_state, metrics, pred_ids, offsets \
+                    = train_step(params, model_state, opt_state, step_rng,
+                                 arrays["audio"], arrays["labels"],
+                                 arrays["lang_ids"], arrays["off_frames"],
+                                 arrays["off_channels"], arrays["off_fracs"],
+                                 arrays["off_valid"],
+                                 max_label_len=batch["max_label_len"])
             if cfg.scheduler_step_on_update:
                 # After the update, as the reference does (train.py:254-259):
                 # the update at step N runs with the factor from N-1 steps.
