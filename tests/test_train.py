@@ -734,6 +734,41 @@ def test_train_driver_grad_accumulation(tmp_path):
     assert train_steps == [1, 2]  # optimizer updates, not micro-batches
 
 
+def test_train_driver_grad_accumulation_with_dp(tmp_path):
+    """grad_accumulation composes with data_parallel: micro-batches shard
+    over the 8-device mesh, grads accumulate replicated, one update."""
+    import json as _json
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    import random as pyrandom
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(17)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=10)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "none", "enable_bilstm": False,
+        "num_conformer_layers": 1, "conformer_heads": 2,
+        "conformer_ff_expansion": 2, "conformer_kernel_size": 31,
+        "lang_emb_dim": 8,
+    })
+    config["training"].update({
+        "batch_size": 8, "optimizer": "AdamW", "learning_rate": 1e-3,
+        "scheduler": "ConstantLR", "label_smoothing": 0.1,
+        "max_steps": 1, "val_check_interval": 1, "max_checkpoints": 1,
+        "seed": 0, "grad_accumulation": 2, "data_parallel": True,
+    })
+    run_preprocess(data_dir, config)
+    train(os.path.join(save_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(save_dir, "best_model.pt"))
+    events = [_json.loads(l) for l in
+              open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert [e["step"] for e in events if e["event"] == "train"] == [1]
+
+
 def test_train_step_with_differentiable_segmental(tmp_path):
     """seg_diff_weight wires into the jitted train step (loss shifts, step
     runs, params update)."""
