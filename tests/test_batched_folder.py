@@ -54,6 +54,44 @@ def test_batched_folder_matches_per_file(reference_tagger_module, tmp_path):
             open(os.path.join(out_c, f"u{i}.lab")).read()
 
 
+def test_long_replacement_file_not_shadowed_by_stale_cache(
+        reference_tagger_module, tmp_path, monkeypatch):
+    """A >MAX_SEGMENT_DURATION file must reach the chunked path even when a
+    stale non-chunked cache entry exists under its name (r3 review: the
+    cache check was briefly ordered before the duration gate)."""
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", "stalecache")
+    rng = np.random.RandomState(5)
+    folder = tmp_path / "stale"
+    folder.mkdir()
+    write_wav(str(folder / "u.wav"), rng.randn(8000) * 0.4, 16000)  # 0.5 s
+    _our_session(config_path, ckpt_path, "none", labels)
+    from wfl_asr_tpu.infer import infer_folder_batched
+    from wfl_asr_tpu.infer import pipeline as P
+
+    out1 = str(tmp_path / "stale_out1")
+    infer_folder_batched(str(folder), config_path, ckpt_path, out1,
+                         lang_id=0, confidence_threshold=0.0)
+    assert (folder / ".wfl_cache" / "u_lang0_logits.pt").exists()
+
+    # replace with a longer file and force it over the duration limit
+    write_wav(str(folder / "u.wav"), rng.randn(32000) * 0.4, 16000)  # 2 s
+    monkeypatch.setattr(P, "MAX_SEGMENT_DURATION", 1.0)
+    out2 = str(tmp_path / "stale_out2")
+    infer_folder_batched(str(folder), config_path, ckpt_path, out2,
+                         lang_id=0, confidence_threshold=0.0)
+    # the chunked path ran (its _seg{N} cache keys appear) and the output
+    # covers the full 2 s file, not the stale 0.5 s logits
+    seg_caches = [f for f in (folder / ".wfl_cache").iterdir()
+                  if "_seg" in f.name]
+    assert seg_caches, "chunked path did not run"
+    lab2 = open(os.path.join(out2, "u.lab")).read()
+    last_end = max((int(l.split()[1]) for l in lab2.splitlines() if l),
+                   default=0)
+    assert last_end > int(1.0 * 1e7)  # segments extend past the old 0.5 s
+
+
 def test_negative_lang_id_raises(reference_tagger_module, tmp_path):
     """Negative lang_id must raise like the reference's torch embedding —
     JAX's traced gather would clamp it to language 0 and silently emit

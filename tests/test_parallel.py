@@ -339,6 +339,43 @@ def test_maybe_initialize_distributed_tolerates_prior_init():
         mesh_mod._dist_initialized = orig
 
 
+def test_multihost_signal_classification():
+    """JAX_PROCESS_COUNT=1 is a single-process launch (no-op); the generic
+    COORDINATOR_ADDRESS name (used by unrelated sidecars) is only a
+    heuristic hint — its init failures degrade instead of aborting."""
+    from wfl_asr_tpu.parallel import mesh as mesh_mod
+
+    assert mesh_mod._multihost_signal({}) is None
+    assert mesh_mod._multihost_signal({"JAX_PROCESS_COUNT": "1"}) is None
+    assert mesh_mod._multihost_signal(
+        {"JAX_PROCESS_COUNT": "4"}) == "explicit"
+    assert mesh_mod._multihost_signal(
+        {"JAX_COORDINATOR_ADDRESS": "x"}) == "explicit"
+    assert mesh_mod._multihost_signal(
+        {"COORDINATOR_ADDRESS": "x"}) == "heuristic"
+    assert mesh_mod._multihost_signal(
+        {"TPU_WORKER_HOSTNAMES": "a,b"}) == "heuristic"
+    assert mesh_mod._multihost_signal(
+        {"TPU_WORKER_HOSTNAMES": "localhost"}) is None
+
+    # heuristic-only ValueError degrades (no abort)
+    calls = []
+
+    def no_coordinator():
+        calls.append(1)
+        raise ValueError("coordinator_address should be defined.")
+
+    orig = mesh_mod._dist_initialized
+    try:
+        mesh_mod._dist_initialized = False
+        assert mesh_mod.maybe_initialize_distributed(
+            env={"COORDINATOR_ADDRESS": "sidecar:9999"},
+            _initialize=no_coordinator) is False
+        assert calls == [1]
+    finally:
+        mesh_mod._dist_initialized = orig
+
+
 def test_maybe_initialize_distributed_propagates_real_failures():
     """Only a double-init RuntimeError is benign. A coordinator
     handshake/connection failure must propagate — swallowing it would let

@@ -925,6 +925,24 @@ def test_scheduler_state_roundtrip():
         assert pl2.factor == pl.factor
 
 
+def test_onecycle_degenerate_warmup_no_crash():
+    """pct_start*total_steps == 1 makes up_steps == 0; torch divides 0/0,
+    our clamped contract must not (r3 review)."""
+    from wfl_asr_tpu.train.schedules import get_scheduler
+
+    s = get_scheduler("OneCycleLR", {"total_steps": 10, "pct_start": 0.1})
+    factors = []
+    for _ in range(10):
+        assert np.isfinite(s.factor) and 0.0 < s.factor <= 1.0
+        factors.append(s.factor)
+        s.step()
+    assert factors[0] == 1.0          # instant warmup: step 0 at the peak
+    assert factors[-1] < factors[0]   # annealing proceeded
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="total_steps"):
+        get_scheduler("OneCycleLR", {"total_steps": 1})
+
+
 def test_onecycle_parity_vs_torch():
     """OneCycleLR factor-of-max_lr parity vs torch for both anneal
     strategies (torch's lr sequence / max_lr == our factor)."""

@@ -676,6 +676,19 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
     for name in sorted(f for f in os.listdir(folder_path)
                        if f.lower().endswith(".wav")):
         path = os.path.join(folder_path, name)
+        # Duration gate FIRST (header only): a >30 s file must reach the
+        # chunked path even if a stale non-chunked cache entry exists from
+        # a shorter file that previously had this name — the chunked path
+        # uses distinct _seg{idx} cache keys.
+        n_samples, sr_hdr = wav_duration(path)   # header only, no decode
+        if n_samples / sr_hdr > MAX_SEGMENT_DURATION:
+            infer_audio(path, config_path, checkpoint_path,
+                        os.path.join(output_dir,
+                                     name.replace(".wav", ".lab")),
+                        lang_id=lang_id,
+                        confidence_threshold=confidence_threshold)
+            continue
+
         cache_dir = os.path.join(folder_path, ".wfl_cache")
         os.makedirs(cache_dir, exist_ok=True)
         base = os.path.splitext(name)[0]
@@ -688,15 +701,6 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
             finish(name, _decode_segment(
                 session, cached, _squeeze_batch(_cache_load(offset_path)),
                 confidence_threshold, median_size, lang_name))
-            continue
-
-        n_samples, sr_hdr = wav_duration(path)   # header only, no decode
-        if n_samples / sr_hdr > MAX_SEGMENT_DURATION:
-            infer_audio(path, config_path, checkpoint_path,
-                        os.path.join(output_dir,
-                                     name.replace(".wav", ".lab")),
-                        lang_id=lang_id,
-                        confidence_threshold=confidence_threshold)
             continue
 
         audio, sr = read_wav(path)

@@ -33,26 +33,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (SURVEY.md §2 names jax.distributed.initialize as the communication-backend
 # equivalent of the backends the reference never had). JAX's own cluster
 # auto-detection handles the coordinator handshake once we decide to call it.
-_CLUSTER_ENV_VARS = (
+# JAX-specific coordinator vars: their presence is an unambiguous user
+# request for a cluster, so init failures must propagate.
+_EXPLICIT_CLUSTER_VARS = (
     "JAX_COORDINATOR_ADDRESS",        # explicit JAX coordinator
-    "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice (DCN) launches
-    "JAX_PROCESS_COUNT",
 )
 
 _dist_initialized = False
 
 
-def _looks_multihost(env) -> bool:
-    if any(v in env for v in _CLUSTER_ENV_VARS):
-        return True
+def _multihost_signal(env):
+    """None (single-host) | "explicit" (user-configured cluster; init
+    failures propagate) | "heuristic" (ambient metadata; failures degrade
+    to single-process with a warning)."""
+    if any(v in env for v in _EXPLICIT_CLUSTER_VARS):
+        return "explicit"
+    # JAX_PROCESS_COUNT=1 is a single-process launch, not a cluster.
+    try:
+        if int(env.get("JAX_PROCESS_COUNT", "1")) > 1:
+            return "explicit"
+    except ValueError:
+        pass
+    # The generic COORDINATOR_ADDRESS name is used by other tools too
+    # (sidecars, unrelated launchers) — treat as a hint, not a command.
+    if "COORDINATOR_ADDRESS" in env:
+        return "heuristic"
     # GCE/GKE TPU pod metadata: counts only when it actually names more
     # than one worker — single-host platforms (this repo's axon relay
     # included) set TPU_WORKER_HOSTNAMES=localhost, which must not trip
     # the guard (jax.distributed.initialize then dies looking for a
     # coordinator address).
-    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
-    return "," in hosts
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return "heuristic"
+    return None
 
 
 def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
@@ -68,11 +82,12 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
     env = os.environ if env is None else env
     if _dist_initialized:
         return False
-    if not _looks_multihost(env):
+    signal = _multihost_signal(env)
+    if signal is None:
         return False
     init = _initialize if _initialize is not None else \
         jax.distributed.initialize
-    explicit = any(v in env for v in _CLUSTER_ENV_VARS)
+    explicit = signal == "explicit"
     try:
         init()
     except RuntimeError as e:

@@ -656,29 +656,36 @@ def train(config_path: str = "config.yaml",
         nonlocal pending, last_log
         if pending is None:
             return
-        p_step, p_metrics, p_pred, p_off, p_batch, p_lr = pending
+        # p_micro: [(pred_ids, offsets, batch), ...] — one entry per
+        # micro-batch of the update (a single entry on the fused path), so
+        # the segmental metric covers the SAME population the averaged
+        # CE/offset metrics do.
+        p_step, p_metrics, p_micro, p_lr = pending
         pending = None
         loss_val = float(p_metrics["loss"])
         offset_val = float(p_metrics["offset_loss"])
         if segmental_metric and seg_weight != 0.0:
             # Host-side value-only segmental term (quirk Q1: detached in
             # the reference — shifts the logged loss, no gradient).
-            pred_np = np.asarray(p_pred)
-            off_np = np.asarray(p_off)
             seg_total = 0.0
-            for i in range(pred_np.shape[0]):
-                ll = int(p_batch["label_lengths"][i])
-                tags = [id2label[int(p)] for p in pred_np[i, :ll]]
-                segs_pred = decode_bio_tags(
-                    tags, frame_duration=cfg.frame_duration,
-                    offsets=off_np[i, :ll])
-                gt = p_batch["segments_gt"][i]
-                if isinstance(gt, list) and len(gt) == 1 \
-                        and isinstance(gt[0], list):
-                    gt = gt[0]
-                seg_total += segmental_loss_value(segs_pred, gt,
-                                                  seg_weights)
-            loss_val += seg_weight * seg_total / pred_np.shape[0]
+            n_samples = 0
+            for p_pred, p_off, p_batch in p_micro:
+                pred_np = np.asarray(p_pred)
+                off_np = np.asarray(p_off)
+                for i in range(pred_np.shape[0]):
+                    ll = int(p_batch["label_lengths"][i])
+                    tags = [id2label[int(p)] for p in pred_np[i, :ll]]
+                    segs_pred = decode_bio_tags(
+                        tags, frame_duration=cfg.frame_duration,
+                        offsets=off_np[i, :ll])
+                    gt = p_batch["segments_gt"][i]
+                    if isinstance(gt, list) and len(gt) == 1 \
+                            and isinstance(gt[0], list):
+                        gt = gt[0]
+                    seg_total += segmental_loss_value(segs_pred, gt,
+                                                      seg_weights)
+                n_samples += pred_np.shape[0]
+            loss_val += seg_weight * seg_total / max(n_samples, 1)
 
         if writer is not None:
             writer.add_scalar("train/loss", loss_val, p_step)
@@ -697,6 +704,7 @@ def train(config_path: str = "config.yaml",
     # micro-batch is dropped; discarded only when max_steps ends training).
     grad_sum = None
     metric_sum = None
+    micro_log = []
     micro_count = 0
     while step < cfg.max_steps:
         epoch_ran = False
@@ -732,14 +740,17 @@ def train(config_path: str = "config.yaml",
                 else:
                     grad_sum = _accumulate_grads(grad_sum, grads)
                     metric_sum = {k: metric_sum[k] + m[k] for k in m}
+                micro_log.append((pred_ids, offsets, batch))
                 micro_count += 1
                 if micro_count < accum_steps:
                     continue  # no optimizer update yet
                 params, opt_state = apply_step(params, opt_state,
                                                grad_sum, micro_count)
                 metrics = {k: v / micro_count for k, v in metric_sum.items()}
+                update_micro = micro_log
                 grad_sum = None
                 metric_sum = None
+                micro_log = []
                 micro_count = 0
             else:
                 params, model_state, opt_state, metrics, pred_ids, offsets \
@@ -749,6 +760,7 @@ def train(config_path: str = "config.yaml",
                                  arrays["off_channels"], arrays["off_fracs"],
                                  arrays["off_valid"],
                                  max_label_len=batch["max_label_len"])
+                update_micro = [(pred_ids, offsets, batch)]
             if cfg.scheduler_step_on_update:
                 # After the update, as the reference does (train.py:254-259):
                 # the update at step N runs with the factor from N-1 steps.
@@ -756,7 +768,7 @@ def train(config_path: str = "config.yaml",
             step += 1
 
             drain_pending()     # log step-1 while this step runs on device
-            pending = (step, metrics, pred_ids, offsets, batch, lr_used)
+            pending = (step, metrics, update_micro, lr_used)
 
             if step % cfg.val_check_interval == 0:
                 drain_pending()

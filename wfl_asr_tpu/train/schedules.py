@@ -180,6 +180,8 @@ class OneCycleLR(Scheduler):
     def __init__(self, total_steps: int, pct_start: float = 0.3,
                  anneal_strategy: str = "cos", div_factor: float = 25.0,
                  final_div_factor: float = 1e4):
+        if total_steps < 2:
+            raise ValueError("total_steps must be >= 2")
         if not 0.0 < pct_start < 1.0:
             raise ValueError("pct_start must be in (0, 1)")
         if anneal_strategy not in ("cos", "linear"):
@@ -199,8 +201,11 @@ class OneCycleLR(Scheduler):
     def get_factor(self) -> float:
         step = min(max(self.last_epoch, 0), self.total_steps - 1)
         up_steps = float(self.pct_start * self.total_steps) - 1
-        if step <= up_steps:
+        # up_steps == 0 (pct_start*total == 1): warmup is the single step 0
+        # at the peak — torch divides 0/0 here; we skip straight to anneal.
+        if up_steps > 0 and step <= up_steps:
             return self._anneal(self.start_factor, 1.0, step / up_steps)
+        up_steps = max(up_steps, 0.0)
         down_steps = self.total_steps - up_steps - 1
         return self._anneal(1.0, self.final_factor,
                             (step - up_steps) / down_steps)
