@@ -14,6 +14,15 @@ training instead runs ``flash_attention.flash_attention`` whose VJP
 additionally produces the gated-relative-position-bias gradients
 (dBias/dGate); this module stays the lean no-bias specialization with its
 own (smaller) backward tile policy.
+
+Deliberately NOT merged with flash_attention.py's kernels: the two dK/dV
+passes want opposite grid orders. With a bias operand, batch must be the
+innermost grid axis so the [T, BLOCK_K] bias block stays VMEM-resident
+across batch revisits (grid (h, k, b) there); without one, the k-tile is
+the natural innermost axis so the full-T q/dO/lse/delta streams are reused
+across k iterations (grid (h, b, k) here). A merged kernel would need
+grid-order parametrization — i.e. both code paths anyway. Any future
+unification must A/B the real train step on chip (docs/ROADMAP.md).
 """
 
 from __future__ import annotations
