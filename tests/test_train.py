@@ -635,6 +635,45 @@ def test_soft_iou_segmental_loss():
     assert float(loss(lg)) < l1 - 0.1
 
 
+def test_multihost_input_sharding_helpers(tmp_path):
+    """Multi-host input feeding pieces (integration needs a real cluster;
+    the pure logic is pinned here): disjoint equal shards, pinned collate
+    shapes, and dataset-wide maxima from metadata/headers only."""
+    from wfl_asr_tpu.data.dataset import (PhonemeDataset, collate,
+                                          shard_indices_for_process)
+
+    idx = list(range(10))
+    shards = [shard_indices_for_process(idx, p, 3) for p in range(3)]
+    assert shards == [[0, 1, 2], [3, 4, 5], [6, 7, 8]]  # 9 truncates 10
+    assert len(set(sum(shards, []))) == 9               # disjoint
+
+    # pinned collate shapes: every batch pads to at least the fixed maxima
+    items = [{"audio": np.zeros(1000, np.float32),
+              "label_ids": np.zeros(7, np.int32), "wav": np.zeros(1000),
+              "segments": [], "wav_path": "x", "lang_id": 0}]
+    b = collate(items, 0.02, fixed_audio_len=50_000, fixed_label_len=123)
+    assert b["audio"].shape[1] >= 50_000
+    assert b["labels"].shape[1] >= 123
+    b2 = collate(items, 0.02)   # default: per-batch maxima (unchanged)
+    assert b2["audio"].shape[1] < 50_000
+
+    # dataset-wide maxima from headers + metadata
+    import json
+    from wfl_asr_tpu.data.audio import write_wav
+    wavs = []
+    for i, n in enumerate((8000, 16000, 4000)):
+        p = str(tmp_path / f"w{i}.wav")
+        write_wav(p, np.zeros(n, np.float32), 16000)
+        wavs.append((p, n))
+    ds_json = str(tmp_path / "dataset.json")
+    json.dump([{"wav_path": p, "bio_tags": ["O"] * (i + 3),
+                "phoneme_segments": [], "lang_id": 0}
+               for i, (p, n) in enumerate(wavs)], open(ds_json, "w"))
+    ds = PhonemeDataset(ds_json, ["O"])
+    max_audio, max_label = ds.global_max_lengths()
+    assert max_audio == 16000 and max_label == 5
+
+
 def test_grad_accumulation_matches_fused_step():
     """N accumulated micro-batches == one fused step on the concatenated
     batch, exactly, when the decomposition is clean: equal micro sizes,

@@ -61,6 +61,23 @@ class PhonemeDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def global_max_lengths(self) -> tuple:
+        """(max_audio_samples_at_target_rate, max_label_len) over the whole
+        dataset, from metadata + WAV headers only (no sample decode).
+        Multi-host training pins collate shapes to these maxima so every
+        process emits identical static shapes."""
+        from .audio import wav_duration
+        max_label = max((len(s["bio_tags"]) for s in self.samples),
+                        default=0)
+        max_audio = 0
+        for s in self.samples:
+            n, sr = wav_duration(s["wav_path"])
+            max_audio = max(max_audio,
+                            int(np.ceil(n * self.sample_rate / sr)))
+        if self.max_seq_len:
+            max_audio = min(max_audio, self.max_seq_len)
+        return max_audio, max_label
+
     def get_item(self, idx: int, rng: Optional[np.random.RandomState] = None
                  ) -> Dict:
         sample = self.samples[idx]
@@ -102,15 +119,34 @@ def split_dataset(n: int, num_val: int, seed: int):
     return perm[num_val:].tolist(), perm[:num_val].tolist()
 
 
-def collate(items: List[Dict], frame_duration: float = 0.02) -> Dict:
+def shard_indices_for_process(indices, process_index: int,
+                              process_count: int):
+    """Disjoint equal-size contiguous shards of a (seeded-shuffled) index
+    list for multi-host input feeding. Truncates to
+    ``floor(n / process_count)`` items per process so every host sees the
+    SAME number of batches per epoch — unequal shards would desync the
+    jitted train-step collectives and deadlock the cluster."""
+    per = len(indices) // process_count
+    return list(indices[process_index * per:(process_index + 1) * per])
+
+
+def collate(items: List[Dict], frame_duration: float = 0.02,
+            fixed_audio_len: int = 0, fixed_label_len: int = 0) -> Dict:
     """Bucket-padded batch: audio 0.0-padded, labels −100-padded
-    (reference collate_fn train.py:22-36), plus vectorized offset targets."""
+    (reference collate_fn train.py:22-36), plus vectorized offset targets.
+
+    ``fixed_audio_len``/``fixed_label_len``: pad to AT LEAST these lengths
+    (multi-host mode pins dataset-wide maxima so every process emits the
+    same static shapes — per-batch maxima would diverge across hosts and
+    deadlock the sharded step)."""
     batch = len(items)
     label_lengths = np.array([len(it["label_ids"]) for it in items], np.int32)
     max_label_len = int(label_lengths.max()) if batch else 0
-    padded_label_len = _round_up(max_label_len, LABEL_BUCKET)
+    padded_label_len = _round_up(max(max_label_len, fixed_label_len),
+                                 LABEL_BUCKET)
     max_audio = max(len(it["audio"]) for it in items)
-    padded_audio_len = _round_up(max_audio, AUDIO_BUCKET)
+    padded_audio_len = _round_up(max(max_audio, fixed_audio_len),
+                                 AUDIO_BUCKET)
 
     audio = np.zeros((batch, padded_audio_len), np.float32)
     labels = np.full((batch, padded_label_len), -100, np.int64)
@@ -151,7 +187,8 @@ class BatchLoader:
     def __init__(self, dataset: PhonemeDataset, indices: Sequence[int],
                  batch_size: int, seed: int = 0, shuffle: bool = True,
                  frame_duration: float = 0.02, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 fixed_audio_len: int = 0, fixed_label_len: int = 0):
         self.dataset = dataset
         self.indices = list(indices)
         self.batch_size = batch_size
@@ -160,6 +197,10 @@ class BatchLoader:
         self.frame_duration = frame_duration
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # multi-host mode: pin padded shapes to dataset-wide maxima so
+        # every process emits identical static shapes (see collate)
+        self.fixed_audio_len = fixed_audio_len
+        self.fixed_label_len = fixed_label_len
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -203,7 +244,10 @@ class BatchLoader:
                         rng = np.random.RandomState(
                             hash((self.seed, epoch, idx)) % (2 ** 31))
                         items.append(self.dataset.get_item(idx, rng))
-                    if not put(out_q, collate(items, self.frame_duration)):
+                    if not put(out_q, collate(
+                            items, self.frame_duration,
+                            fixed_audio_len=self.fixed_audio_len,
+                            fixed_label_len=self.fixed_label_len)):
                         return
             except Exception as exc:  # surface loader errors to the consumer
                 put(out_q, exc)

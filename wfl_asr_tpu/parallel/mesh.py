@@ -150,9 +150,20 @@ def shard_batch(batch_tree, mesh: Mesh, pad_value_map=None):
     otherwise zeros.
     """
     data_size = mesh.shape["data"]
+    pcount = jax.process_count()
 
     def put(key, x):
         x = np.asarray(x)
+        if pcount > 1:
+            # Multi-host: `x` holds THIS process's rows of the global
+            # batch (the train driver shards file indices per process and
+            # uses a per-process batch size). Assemble the global sharded
+            # array from process-local data; no padding here — multi-host
+            # runs require divisible batches (drop_last is forced).
+            sharding = batch_sharding(mesh, x.ndim)
+            global_shape = (x.shape[0] * pcount,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
         b = x.shape[0]
         rem = b % data_size
         if rem:

@@ -435,9 +435,37 @@ def train(config_path: str = "config.yaml",
         raise ValueError(
             f"num_val_files={cfg.num_val_files} leaves no training samples "
             f"(dataset has {len(dataset)})")
-    train_loader = BatchLoader(dataset, train_idx, cfg.batch_size,
+
+    # --- multi-host input feeding: each process loads a disjoint equal
+    # shard of the (seeded-shuffled) train files and a per-process slice of
+    # the global batch; collate shapes pin to dataset-wide maxima so every
+    # host emits identical static shapes (shard_batch assembles the global
+    # sharded array from the local rows). Validation/checkpointing run on
+    # the full val set per host with LOCAL compute — identical inputs give
+    # identical metrics everywhere (schedulers stay in sync, plateau
+    # included); only process 0 writes files.
+    pcount = jax.process_count()
+    pidx = jax.process_index()
+    local_bs = cfg.batch_size
+    fixed_audio = fixed_label = 0
+    if pcount > 1:
+        from ..data.dataset import shard_indices_for_process
+        if cfg.batch_size % pcount:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} (global) must be divisible "
+                f"by the {pcount} processes")
+        local_bs = cfg.batch_size // pcount
+        train_idx = shard_indices_for_process(train_idx, pidx, pcount)
+        fixed_audio, fixed_label = dataset.global_max_lengths()
+        print(f"[INFO] Multi-host input: process {pidx}/{pcount}, "
+              f"{len(train_idx)} files, local batch {local_bs}, "
+              f"pinned shapes (audio {fixed_audio}, labels {fixed_label})")
+    train_loader = BatchLoader(dataset, train_idx, local_bs,
                                seed=cfg.seed, shuffle=True,
-                               frame_duration=cfg.frame_duration)
+                               frame_duration=cfg.frame_duration,
+                               drop_last=pcount > 1,
+                               fixed_audio_len=fixed_audio,
+                               fixed_label_len=fixed_label)
     val_loader = BatchLoader(dataset, val_idx, cfg.batch_size,
                              seed=cfg.seed, shuffle=False,
                              frame_duration=cfg.frame_duration)
@@ -456,6 +484,12 @@ def train(config_path: str = "config.yaml",
     mesh = None
     if use_mesh:
         from ..parallel import make_mesh
+        if pcount > 1 and model_parallel > 1:
+            raise ValueError(
+                "model_parallel > 1 is not supported across hosts: "
+                "validation/checkpointing need locally-addressable "
+                "(replicated) parameters. Use data parallelism across "
+                "hosts and TP within one host.")
         mesh = make_mesh(model_parallel=model_parallel)
         data_size = mesh.shape["data"]
         if cfg.batch_size % data_size != 0:
@@ -505,7 +539,8 @@ def train(config_path: str = "config.yaml",
 
     try:
         from tensorboardX import SummaryWriter
-        writer = SummaryWriter(cfg.log_dir)
+        # one writer per run: non-zero processes would clobber the same dir
+        writer = SummaryWriter(cfg.log_dir) if pidx == 0 else None
     except ImportError:
         writer = None
 
@@ -513,7 +548,8 @@ def train(config_path: str = "config.yaml",
     # the reference has none): one JSON object per train/val event.
     import json as _json
     os.makedirs(cfg.log_dir, exist_ok=True)
-    metrics_log = open(os.path.join(cfg.log_dir, "metrics.jsonl"), "a")
+    metrics_log = (open(os.path.join(cfg.log_dir, "metrics.jsonl"), "a")
+                   if pidx == 0 else open(os.devnull, "w"))
 
     def log_event(kind: str, step_: int, **fields):
         metrics_log.write(_json.dumps(
@@ -529,6 +565,12 @@ def train(config_path: str = "config.yaml",
         compute_dtype=compute_dtype,
         seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh)
+    # Multi-host: every process evaluates the FULL val set with local
+    # compute on the (replicated → locally addressable) params. Identical
+    # inputs → identical metrics on every host, so schedulers that consume
+    # val_loss stay in sync with no cross-host broadcast.
+    eval_step_local = (make_eval_step(arch, cfg.label_smoothing, mesh=None)
+                       if pcount > 1 else None)
     # training.grad_accumulation: N micro-batches per optimizer update
     # (effective batch = N × batch_size; torch-convention semantics —
     # the applied gradient is the mean of per-micro-batch mean-loss
@@ -772,25 +814,35 @@ def train(config_path: str = "config.yaml",
 
             if step % cfg.val_check_interval == 0:
                 drain_pending()
-                val_loss = evaluate(params, model_state, arch, eval_step,
-                                    val_loader, label_list, cfg, writer,
-                                    step, id2lang, merge_map, mesh=mesh)
+                if pcount > 1:
+                    val_loss = evaluate(
+                        jax.device_get(params), jax.device_get(model_state),
+                        arch, eval_step_local, val_loader, label_list, cfg,
+                        writer, step, id2lang, merge_map, mesh=None)
+                else:
+                    val_loss = evaluate(params, model_state, arch, eval_step,
+                                        val_loader, label_list, cfg, writer,
+                                        step, id2lang, merge_map, mesh=mesh)
                 log_event("val", step, loss=val_loss)
-                model_path = os.path.join(save_dir, f"model_step{step}.pt")
-                save_model_checkpoint(model_path, params, model_state, arch,
-                                      fmt=ckpt_fmt)
-                save_train_state(model_path, opt_state, step,
-                                 np.asarray(rng),
-                                 scheduler_state=scheduler.state_dict())
-                checkpoint_paths.append(model_path)
-                if len(checkpoint_paths) > cfg.max_checkpoints:
-                    remove_checkpoint(checkpoint_paths.pop(0))
+                if pidx == 0:
+                    model_path = os.path.join(save_dir,
+                                              f"model_step{step}.pt")
+                    save_model_checkpoint(model_path, params, model_state,
+                                          arch, fmt=ckpt_fmt)
+                    save_train_state(model_path, opt_state, step,
+                                     np.asarray(rng),
+                                     scheduler_state=scheduler.state_dict())
+                    checkpoint_paths.append(model_path)
+                    if len(checkpoint_paths) > cfg.max_checkpoints:
+                        remove_checkpoint(checkpoint_paths.pop(0))
                 if val_loss < best_loss:
                     best_loss = val_loss
-                    save_model_checkpoint(
-                        os.path.join(save_dir, "best_model.pt"),
-                        params, model_state, arch, fmt=ckpt_fmt)
-                    print(f"\nSaved best model with loss = {val_loss:.4f}")
+                    if pidx == 0:
+                        save_model_checkpoint(
+                            os.path.join(save_dir, "best_model.pt"),
+                            params, model_state, arch, fmt=ckpt_fmt)
+                        print(f"\nSaved best model with loss = "
+                              f"{val_loss:.4f}")
 
                 if not cfg.scheduler_step_on_update:
                     if type(scheduler).__name__ == "ReduceLROnPlateau":
@@ -826,8 +878,9 @@ def train(config_path: str = "config.yaml",
         epoch += 1
 
     profile_ctx.__exit__(None, None, None)
-    save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
-                          params, model_state, arch, fmt=ckpt_fmt)
+    if pidx == 0:
+        save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
+                              params, model_state, arch, fmt=ckpt_fmt)
     metrics_log.close()
     print("\nTraining complete at max_steps!")
 
