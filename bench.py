@@ -30,7 +30,41 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(max_wait_s: float) -> "list":
+    """Poll jax.devices() with backoff until the backend comes up.
+
+    The axon relay is remote and occasionally UNAVAILABLE for minutes at a
+    time (round 3's driver capture died on exactly this — BENCH_r03.json
+    rc:1). Backend init failures are NOT cached by jax when they raise, so
+    retrying in-process works. Bounded: raises after max_wait_s.
+    """
+    import jax
+
+    deadline = time.time() + max_wait_s
+    delay = 5.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return jax.devices()
+        except Exception as e:  # RuntimeError/JaxRuntimeError: UNAVAILABLE
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                log(f"backend init failed after {attempt} attempts; giving up")
+                raise
+            log(f"backend unavailable (attempt {attempt}): "
+                f"{str(e).splitlines()[0][:120]}; retrying in {delay:.0f}s "
+                f"({remaining/60:.1f} min left)")
+            time.sleep(min(delay, remaining))
+            delay = min(delay * 1.6, 60.0)
+
+
 def main() -> None:
+    # Bring the backend up FIRST, with retry — one transient relay outage
+    # must not void a round's only driver capture (VERDICT r3 weak #1).
+    max_wait = float(os.environ.get("WFL_BENCH_BACKEND_WAIT_S", "900"))
+    devices = wait_for_backend(max_wait)
+
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +80,7 @@ def main() -> None:
     dtype_name = os.environ.get("WFL_BENCH_DTYPE", "bf16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
-    dev = jax.devices()[0]
+    dev = devices[0]
     log(f"device: {dev} | batch={batch} x 30s | dtype={dtype_name}")
 
     import dataclasses

@@ -651,11 +651,14 @@ def test_multihost_input_sharding_helpers(tmp_path):
     items = [{"audio": np.zeros(1000, np.float32),
               "label_ids": np.zeros(7, np.int32), "wav": np.zeros(1000),
               "segments": [], "wav_path": "x", "lang_id": 0}]
-    b = collate(items, 0.02, fixed_audio_len=50_000, fixed_label_len=123)
+    b = collate(items, 0.02, fixed_audio_len=50_000, fixed_label_len=123,
+                fixed_targets_len=200)
     assert b["audio"].shape[1] >= 50_000
     assert b["labels"].shape[1] >= 123
+    assert b["off_frames"].shape[1] >= 200
     b2 = collate(items, 0.02)   # default: per-batch maxima (unchanged)
     assert b2["audio"].shape[1] < 50_000
+    assert b2["off_frames"].shape[1] < 200
 
     # dataset-wide maxima from headers + metadata
     import json
@@ -667,11 +670,13 @@ def test_multihost_input_sharding_helpers(tmp_path):
         wavs.append((p, n))
     ds_json = str(tmp_path / "dataset.json")
     json.dump([{"wav_path": p, "bio_tags": ["O"] * (i + 3),
-                "phoneme_segments": [], "lang_id": 0}
+                "phoneme_segments": [[0.0, 0.1, "a"]] * (i + 1),
+                "lang_id": 0}
                for i, (p, n) in enumerate(wavs)], open(ds_json, "w"))
     ds = PhonemeDataset(ds_json, ["O"])
-    max_audio, max_label = ds.global_max_lengths()
+    max_audio, max_label, max_targets = ds.global_max_lengths()
     assert max_audio == 16000 and max_label == 5
+    assert max_targets == 6  # 3 segments x 2 boundaries
 
 
 def test_grad_accumulation_matches_fused_step():

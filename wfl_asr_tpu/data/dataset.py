@@ -62,13 +62,20 @@ class PhonemeDataset:
         return len(self.samples)
 
     def global_max_lengths(self) -> tuple:
-        """(max_audio_samples_at_target_rate, max_label_len) over the whole
-        dataset, from metadata + WAV headers only (no sample decode).
-        Multi-host training pins collate shapes to these maxima so every
-        process emits identical static shapes."""
+        """(max_audio_samples_at_target_rate, max_label_len, max_targets)
+        over the whole dataset, from metadata + WAV headers only (no sample
+        decode). Multi-host training pins collate shapes to these maxima so
+        every process emits identical static shapes — including the offset-
+        target width (2 boundaries per well-formed segment), which would
+        otherwise straddle TARGET_BUCKET boundaries differently per host and
+        desync the sharded train step."""
         from .audio import wav_duration
         max_label = max((len(s["bio_tags"]) for s in self.samples),
                         default=0)
+        max_targets = max(
+            (sum(1 for seg in s["phoneme_segments"]
+                 if isinstance(seg, (list, tuple)) and len(seg) == 3) * 2
+             for s in self.samples), default=1)
         max_audio = 0
         for s in self.samples:
             n, sr = wav_duration(s["wav_path"])
@@ -76,7 +83,7 @@ class PhonemeDataset:
                             int(np.ceil(n * self.sample_rate / sr)))
         if self.max_seq_len:
             max_audio = min(max_audio, self.max_seq_len)
-        return max_audio, max_label
+        return max_audio, max_label, max_targets
 
     def get_item(self, idx: int, rng: Optional[np.random.RandomState] = None
                  ) -> Dict:
@@ -131,14 +138,15 @@ def shard_indices_for_process(indices, process_index: int,
 
 
 def collate(items: List[Dict], frame_duration: float = 0.02,
-            fixed_audio_len: int = 0, fixed_label_len: int = 0) -> Dict:
+            fixed_audio_len: int = 0, fixed_label_len: int = 0,
+            fixed_targets_len: int = 0) -> Dict:
     """Bucket-padded batch: audio 0.0-padded, labels −100-padded
     (reference collate_fn train.py:22-36), plus vectorized offset targets.
 
-    ``fixed_audio_len``/``fixed_label_len``: pad to AT LEAST these lengths
-    (multi-host mode pins dataset-wide maxima so every process emits the
-    same static shapes — per-batch maxima would diverge across hosts and
-    deadlock the sharded step)."""
+    ``fixed_audio_len``/``fixed_label_len``/``fixed_targets_len``: pad to AT
+    LEAST these lengths (multi-host mode pins dataset-wide maxima so every
+    process emits the same static shapes — per-batch maxima would diverge
+    across hosts and deadlock the sharded step)."""
     batch = len(items)
     label_lengths = np.array([len(it["label_ids"]) for it in items], np.int32)
     max_label_len = int(label_lengths.max()) if batch else 0
@@ -155,7 +163,8 @@ def collate(items: List[Dict], frame_duration: float = 0.02,
     max_targets = max((sum(1 for s in it["segments"]
                            if isinstance(s, (list, tuple)) and len(s) == 3) * 2
                        for it in items), default=1)
-    max_targets = _round_up(max(max_targets, 1), TARGET_BUCKET)
+    max_targets = _round_up(max(max_targets, fixed_targets_len, 1),
+                            TARGET_BUCKET)
     off_f = np.zeros((batch, max_targets), np.int32)
     off_c = np.zeros((batch, max_targets), np.int32)
     off_x = np.zeros((batch, max_targets), np.float32)
@@ -188,7 +197,8 @@ class BatchLoader:
                  batch_size: int, seed: int = 0, shuffle: bool = True,
                  frame_duration: float = 0.02, prefetch: int = 2,
                  drop_last: bool = False,
-                 fixed_audio_len: int = 0, fixed_label_len: int = 0):
+                 fixed_audio_len: int = 0, fixed_label_len: int = 0,
+                 fixed_targets_len: int = 0):
         self.dataset = dataset
         self.indices = list(indices)
         self.batch_size = batch_size
@@ -201,6 +211,7 @@ class BatchLoader:
         # every process emits identical static shapes (see collate)
         self.fixed_audio_len = fixed_audio_len
         self.fixed_label_len = fixed_label_len
+        self.fixed_targets_len = fixed_targets_len
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -247,7 +258,8 @@ class BatchLoader:
                     if not put(out_q, collate(
                             items, self.frame_duration,
                             fixed_audio_len=self.fixed_audio_len,
-                            fixed_label_len=self.fixed_label_len)):
+                            fixed_label_len=self.fixed_label_len,
+                            fixed_targets_len=self.fixed_targets_len)):
                         return
             except Exception as exc:  # surface loader errors to the consumer
                 put(out_q, exc)

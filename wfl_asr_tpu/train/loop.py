@@ -234,7 +234,11 @@ def make_accum_apply(tx):
 
 @functools.partial(jax.jit, donate_argnames=("grad_sum",))
 def _accumulate_grads(grad_sum, grads):
-    """f32 running sum of micro-batch gradients (donated accumulator)."""
+    """f32 running sum of micro-batch gradients (donated accumulator).
+
+    Works on any pytree — the train loop passes (grads, metrics) as ONE
+    tree so each micro-batch costs a single extra dispatch (the relay adds
+    ~32 ms per jitted call; eager per-metric adds would cost three)."""
     return jax.tree_util.tree_map(
         lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
 
@@ -447,7 +451,7 @@ def train(config_path: str = "config.yaml",
     pcount = jax.process_count()
     pidx = jax.process_index()
     local_bs = cfg.batch_size
-    fixed_audio = fixed_label = 0
+    fixed_audio = fixed_label = fixed_targets = 0
     if pcount > 1:
         from ..data.dataset import shard_indices_for_process
         if cfg.batch_size % pcount:
@@ -456,16 +460,19 @@ def train(config_path: str = "config.yaml",
                 f"by the {pcount} processes")
         local_bs = cfg.batch_size // pcount
         train_idx = shard_indices_for_process(train_idx, pidx, pcount)
-        fixed_audio, fixed_label = dataset.global_max_lengths()
+        fixed_audio, fixed_label, fixed_targets = \
+            dataset.global_max_lengths()
         print(f"[INFO] Multi-host input: process {pidx}/{pcount}, "
               f"{len(train_idx)} files, local batch {local_bs}, "
-              f"pinned shapes (audio {fixed_audio}, labels {fixed_label})")
+              f"pinned shapes (audio {fixed_audio}, labels {fixed_label}, "
+              f"targets {fixed_targets})")
     train_loader = BatchLoader(dataset, train_idx, local_bs,
                                seed=cfg.seed, shuffle=True,
                                frame_duration=cfg.frame_duration,
                                drop_last=pcount > 1,
                                fixed_audio_len=fixed_audio,
-                               fixed_label_len=fixed_label)
+                               fixed_label_len=fixed_label,
+                               fixed_targets_len=fixed_targets)
     val_loader = BatchLoader(dataset, val_idx, cfg.batch_size,
                              seed=cfg.seed, shuffle=False,
                              frame_duration=cfg.frame_duration)
@@ -604,15 +611,30 @@ def train(config_path: str = "config.yaml",
     resume = None
     candidates = find_resume_checkpoints(save_dir)
     errors = []
+    import pickle
+    import zipfile
+    # Corruption (torn/truncated file from a crash mid-save) degrades to the
+    # previous checkpoint; a STRUCTURAL mismatch (missing/mismatched keys —
+    # the arch or head config changed) aborts immediately: falling back to
+    # an older checkpoint that happens to still load would silently resume
+    # from stale weights and re-overwrite the newer checkpoints.
+    _corruption = (EOFError, pickle.UnpicklingError, zipfile.BadZipFile,
+                   ValueError, OSError, RuntimeError)
     for cand_path, cand_step in candidates:
         try:
             params, model_state = load_model_checkpoint(cand_path, arch)
             resume = (cand_path, cand_step)
             break
-        except Exception as e:  # truncated/corrupt file
+        except _corruption as e:  # truncated/corrupt file
             print(f"[WARN] Skipping unreadable checkpoint "
                   f"{os.path.basename(cand_path)}: {e}")
             errors.append(e)
+        except KeyError as e:
+            raise RuntimeError(
+                f"Checkpoint {os.path.basename(cand_path)} is readable but "
+                f"does not match the configured model (missing {e}). If the "
+                "model config changed, point output.save_dir at a fresh "
+                "directory instead of resuming over the old run.") from e
     if resume is None and candidates:
         raise RuntimeError(
             f"{len(candidates)} checkpoint(s) found in {save_dir} but none "
@@ -652,6 +674,27 @@ def train(config_path: str = "config.yaml",
                             ][-cfg.max_checkpoints:]
     else:
         print("Training start")
+
+    if pcount > 1:
+        # Only process 0 writes checkpoints, but every process scans its
+        # own view of save_dir — without a shared filesystem the hosts can
+        # disagree on the resume point, giving different while-loop trip
+        # counts and a collective desync/hang. Assert agreement with
+        # process 0's decision and fail fast (the save_dir must be shared
+        # or synced across hosts).
+        from jax.experimental import multihost_utils
+        local_decision = np.array(
+            [step, 1 if resume is not None else 0], np.int64)
+        lead_decision = multihost_utils.broadcast_one_to_all(local_decision)
+        if not np.array_equal(local_decision, lead_decision):
+            raise RuntimeError(
+                f"Multi-host resume desync: process {pidx} sees "
+                f"(step={int(local_decision[0])}, "
+                f"found={int(local_decision[1])}) but process 0 decided "
+                f"(step={int(lead_decision[0])}, "
+                f"found={int(lead_decision[1])}). output.save_dir must be "
+                "a shared (or fully synced) filesystem so every host "
+                "resumes from the same checkpoint.")
 
     if mesh is not None:
         from ..parallel import replicate, shard_params_tp, tp_shardings
@@ -776,12 +819,11 @@ def train(config_path: str = "config.yaml",
                     arrays["off_valid"],
                     max_label_len=batch["max_label_len"])
                 if grad_sum is None:
-                    grad_sum = jax.tree_util.tree_map(
-                        lambda g: g.astype(jnp.float32), grads)
-                    metric_sum = m
+                    grad_sum, metric_sum = jax.tree_util.tree_map(
+                        lambda g: g.astype(jnp.float32), (grads, m))
                 else:
-                    grad_sum = _accumulate_grads(grad_sum, grads)
-                    metric_sum = {k: metric_sum[k] + m[k] for k in m}
+                    grad_sum, metric_sum = _accumulate_grads(
+                        (grad_sum, metric_sum), (grads, m))
                 micro_log.append((pred_ids, offsets, batch))
                 micro_count += 1
                 if micro_count < accum_steps:
