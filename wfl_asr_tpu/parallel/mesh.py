@@ -88,8 +88,20 @@ def maybe_initialize_distributed(env=None, _initialize=None) -> bool:
     init = _initialize if _initialize is not None else \
         jax.distributed.initialize
     explicit = signal == "explicit"
+    # Generic (non-SLURM/MPI/GKE) launchers: jax's cluster auto-detection
+    # has no plain env fallback for num_processes/process_id, so pass them
+    # through explicitly when the launcher sets JAX_PROCESS_COUNT /
+    # JAX_PROCESS_ID (coordinator_address comes from JAX_COORDINATOR_ADDRESS,
+    # which jax itself reads).
+    kwargs = {}
+    if "JAX_PROCESS_COUNT" in env and "JAX_PROCESS_ID" in env:
+        try:
+            kwargs = {"num_processes": int(env["JAX_PROCESS_COUNT"]),
+                      "process_id": int(env["JAX_PROCESS_ID"])}
+        except ValueError:
+            kwargs = {}
     try:
-        init()
+        init(**kwargs)
     except RuntimeError as e:
         # Only a double-init is benign. Any other RuntimeError (coordinator
         # handshake/connection failure) must propagate: swallowing it would

@@ -411,7 +411,7 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
 # ---------------------------------------------------------------------------
 
 def train(config_path: str = "config.yaml",
-          segmental_metric: bool = True) -> None:
+          segmental_metric: bool = True):
     # Multi-host launches (TPU pods / multi-slice): join the cluster before
     # any device query; single-host runs no-op (guard in parallel/mesh.py).
     from ..parallel import maybe_initialize_distributed
@@ -737,6 +737,23 @@ def train(config_path: str = "config.yaml",
     # is unchanged.
     pending = None
 
+    def host_rows(a):
+        """Process-local rows of a batch-sharded array. On one host this is
+        a plain transfer; with jax.process_count() > 1 the global array
+        spans non-addressable devices and np.asarray would raise — fetch
+        only this host's shards (unique by global row range, sorted), which
+        correspond 1:1 to the local collated batch rows that
+        make_array_from_process_local_data placed there."""
+        if getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        by_start = {}
+        for s in a.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in by_start:
+                by_start[start] = np.asarray(s.data)
+        return np.concatenate(
+            [by_start[k] for k in sorted(by_start)], axis=0)
+
     def drain_pending():
         nonlocal pending, last_log
         if pending is None:
@@ -755,9 +772,13 @@ def train(config_path: str = "config.yaml",
             seg_total = 0.0
             n_samples = 0
             for p_pred, p_off, p_batch in p_micro:
-                pred_np = np.asarray(p_pred)
-                off_np = np.asarray(p_off)
-                for i in range(pred_np.shape[0]):
+                pred_np = host_rows(p_pred)
+                off_np = host_rows(p_off)
+                # shard_batch may have padded the global batch up to the
+                # data-axis size; only the local collated rows are real.
+                n_real = min(pred_np.shape[0],
+                             len(p_batch["label_lengths"]))
+                for i in range(n_real):
                     ll = int(p_batch["label_lengths"][i])
                     tags = [id2label[int(p)] for p in pred_np[i, :ll]]
                     segs_pred = decode_bio_tags(
@@ -769,7 +790,7 @@ def train(config_path: str = "config.yaml",
                         gt = gt[0]
                     seg_total += segmental_loss_value(segs_pred, gt,
                                                       seg_weights)
-                n_samples += pred_np.shape[0]
+                n_samples += n_real
             loss_val += seg_weight * seg_total / max(n_samples, 1)
 
         if writer is not None:
@@ -925,6 +946,10 @@ def train(config_path: str = "config.yaml",
                               params, model_state, arch, fmt=ckpt_fmt)
     metrics_log.close()
     print("\nTraining complete at max_steps!")
+    # Final state, for callers that keep going (tests, notebooks). On a
+    # multi-host mesh these are globally-sharded arrays; fetch with
+    # jax.device_get only if fully replicated/addressable.
+    return params, model_state
 
 
 def main() -> None:
