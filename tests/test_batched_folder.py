@@ -157,6 +157,64 @@ def test_batched_folder_lang_averaging(reference_tagger_module, tmp_path):
             open(os.path.join(out_b, f"v{i}.lab")).read()
 
 
+@pytest.mark.parametrize("lang_id,thr,median", [(0, 0.3, 3), (None, 0.5, 1)])
+def test_device_decode_matches_host_decode(reference_tagger_module, tmp_path,
+                                           lang_id, thr, median):
+    """postprocess.device_decode: the fused on-device chain (lang averaging
+    + gate + masked median + BIO state machine) must produce byte-identical
+    .lab files AND identical .wfl_cache entries vs the host decode path."""
+    import yaml
+    ref_model, _, _ = reference_tagger_module
+    labels, config, config_path, ckpt_path, _ = _setup_run(
+        ref_model, tmp_path, "none", f"devdec{lang_id}{median}")
+
+    rng = np.random.RandomState(13)
+    folder_a = tmp_path / "hostdec"; folder_b = tmp_path / "devdec"
+    folder_a.mkdir(); folder_b.mkdir()
+    for i, dur in enumerate([0.6, 1.4, 0.9]):
+        audio = (rng.randn(int(16000 * dur)) * 0.4)
+        write_wav(str(folder_a / f"w{i}.wav"), audio, 16000)
+        write_wav(str(folder_b / f"w{i}.wav"), audio, 16000)
+
+    cfg = yaml.safe_load(open(config_path))
+    cfg.setdefault("postprocess", {})["median_filter"] = median
+    yaml.safe_dump(cfg, open(config_path, "w"))
+    _our_session(config_path, ckpt_path, "none", labels)
+
+    from wfl_asr_tpu.infer import infer_folder_batched
+    out_a = str(tmp_path / "out_host")
+    infer_folder_batched(str(folder_a), config_path, ckpt_path, out_a,
+                         lang_id=lang_id, confidence_threshold=thr,
+                         batch_files=3)
+
+    # flip the flag on (the session caches Config per path — rewrite + a
+    # fresh config file path so a new session picks it up)
+    cfg["postprocess"]["device_decode"] = True
+    dd_config = str(tmp_path / "config_devdec.yaml")
+    yaml.safe_dump(cfg, open(dd_config, "w"))
+    _our_session(dd_config, ckpt_path, "none", labels)
+    out_b = str(tmp_path / "out_dev")
+    infer_folder_batched(str(folder_b), dd_config, ckpt_path, out_b,
+                         lang_id=lang_id, confidence_threshold=thr,
+                         batch_files=3)
+
+    for i in range(3):
+        a = open(os.path.join(out_a, f"w{i}.lab")).read()
+        b = open(os.path.join(out_b, f"w{i}.lab")).read()
+        assert a == b, f"w{i}"
+
+    # cache entries byte-agree too (same averaged logits/offsets contract)
+    import torch
+    suffix = f"_lang{lang_id}" if lang_id is not None else "_avg"
+    for i in range(3):
+        for kind in ("logits", "offsets"):
+            pa = folder_a / ".wfl_cache" / f"w{i}{suffix}_{kind}.pt"
+            pb = folder_b / ".wfl_cache" / f"w{i}{suffix}_{kind}.pt"
+            ta = torch.load(str(pa), weights_only=True)
+            tb = torch.load(str(pb), weights_only=True)
+            assert torch.equal(ta, tb), (i, kind)
+
+
 def test_session_cache_reused_with_data_parallel_single_device(monkeypatch):
     """data_parallel=True on a single-device host must reuse the cached
     mesh-less session instead of rebuilding (and recompiling) per call."""

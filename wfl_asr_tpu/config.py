@@ -274,3 +274,11 @@ class Config:
     @property
     def confidence_threshold(self) -> float:
         return float(self._sec("postprocess").get("confidence_threshold", 0.0))  # infer.py:407-408
+
+    @property
+    def device_decode(self) -> bool:
+        """TPU addition (no reference analogue): run the BIO→segments state
+        machine on device in the batched folder mode, transferring segment
+        arrays instead of per-frame ids (the last north-star clause —
+        gate + median + decode device-side before one host transfer)."""
+        return bool(self._sec("postprocess").get("device_decode", False))

@@ -21,7 +21,12 @@ TPU architecture: audio is padded into static 1 s buckets; sample/frame masks
 make valid-frame outputs bit-equal to exact-length runs (see
 tests/test_masked_inference.py), so each (bucket, num_langs) pair compiles
 once. The confidence gate and median filter run on device; ids/offsets cross
-to host once per chunk.
+to host once per chunk. With ``postprocess.device_decode`` the batched
+folder mode goes further: per-language averaging, gate, masked median, and
+the BIO→segments state machine all run on device and ONE transfer carries
+segment index/offset arrays — the host only multiplies
+``(idx + offset) * Δ`` in float64 (preserving ``.lab`` truncation parity;
+tests/test_device_decode.py, tests/test_batched_folder.py).
 """
 
 from __future__ import annotations
@@ -42,7 +47,8 @@ from ..labels import (Segment, align_phoneme_list, canonical_to_lang,
                       load_langs, load_phoneme_list, load_phoneme_merge_map,
                       merge_adjacent_segments, save_lab)
 from ..models.tagger import TaggerArch, apply_tagger
-from ..ops.postprocess import confidence_gate_ids, median_filter_ids
+from ..ops.postprocess import (confidence_gate_ids, extract_segments_ids,
+                               median_filter_ids, median_filter_ids_masked)
 from ..checkpoint import load_model_checkpoint
 
 FRAME_DURATION = 0.02          # reference infer.py:12
@@ -62,6 +68,31 @@ def _forward_impl(params, state, arch, audio, lang_ids, sample_mask,
         precentered=precentered, compute_dtype=compute_dtype,
         precomputed_pos_bias=pos_bias, mesh=mesh)
     return logits, offsets
+
+
+@functools.partial(jax.jit, static_argnames=("n_items", "n_langs",
+                                             "median_size", "o_id"))
+def _decode_rows_impl(logits, offsets, lengths, threshold, kind_t, ph_t,
+                      n_items: int, n_langs: int, median_size: int,
+                      o_id: int):
+    """Device-side tail of the batched folder path: average the per-language
+    rows, gate, median-filter at each item's TRUE length, and run the BIO
+    state machine — all in one dispatch on the un-transferred forward
+    outputs. Returns segment arrays plus the averaged logits/offsets."""
+    n_real = n_items * n_langs
+    lg = logits[:n_real].astype(jnp.float32).reshape(
+        (n_items, n_langs) + logits.shape[1:]).mean(axis=1)
+    off = offsets[:n_real].astype(jnp.float32).reshape(
+        (n_items, n_langs) + offsets.shape[1:]).mean(axis=1)
+
+    def one(lg_i, off_i, len_i):
+        ids = confidence_gate_ids(lg_i, threshold, o_id)
+        if median_size > 1:
+            ids = median_filter_ids_masked(ids, median_size, len_i)
+        return extract_segments_ids(ids, off_i, len_i, kind_t, ph_t)
+
+    b, e, p, so, eo, cnt = jax.vmap(one)(lg, off, lengths)
+    return b, e, p, so, eo, cnt, lg, off
 
 
 def split_audio(audio: np.ndarray, sr: int,
@@ -265,17 +296,11 @@ class InferenceSession:
         offsets = np.asarray(offsets[:L, :t_ref])
         return logits, offsets
 
-    def forward_many(self, audios: Sequence[np.ndarray],
-                     lang_ids_per_item: Sequence[Sequence[int]]):
-        """Batched multi-utterance forward: items of different true lengths
-        share one bucketed graph via per-row masks (bit-equal to per-item
-        exact-length runs — tests/test_masked_inference.py).
-
-        Returns a list of (logits [L_i, T_ref_i, n], offsets [L_i, T_ref_i, 2])
-        per item, where L_i = len(lang_ids_per_item[i]).
-        """
-        if not audios:
-            return []
+    def _forward_many_device(self, audios: Sequence[np.ndarray],
+                             lang_ids_per_item: Sequence[Sequence[int]]):
+        """Shared body of the batched multi-utterance forward: one bucketed
+        graph over per-row masks; returns DEVICE arrays plus row metadata
+        (callers decide what crosses to host)."""
         bucket_unit = int(BUCKET_SECONDS * self.sr)
         s_true = [len(a) for a in audios]
         bucket = max(int(np.ceil(max(s_true) / bucket_unit)), 1) * bucket_unit
@@ -317,6 +342,21 @@ class InferenceSession:
             self._put(batch), self._put(np.array(rows_lang, np.int32)),
             self._put(sample_mask), self._put(frame_mask),
             masked, precentered, t_pad)
+        return logits, offsets, t_refs
+
+    def forward_many(self, audios: Sequence[np.ndarray],
+                     lang_ids_per_item: Sequence[Sequence[int]]):
+        """Batched multi-utterance forward: items of different true lengths
+        share one bucketed graph via per-row masks (bit-equal to per-item
+        exact-length runs — tests/test_masked_inference.py).
+
+        Returns a list of (logits [L_i, T_ref_i, n], offsets [L_i, T_ref_i, 2])
+        per item, where L_i = len(lang_ids_per_item[i]).
+        """
+        if not audios:
+            return []
+        logits, offsets, t_refs = self._forward_many_device(
+            audios, lang_ids_per_item)
         logits = np.asarray(logits)
         offsets = np.asarray(offsets)
 
@@ -327,6 +367,60 @@ class InferenceSession:
             out.append((logits[row:row + n, :t_refs[i]],
                         offsets[row:row + n, :t_refs[i]]))
             row += n
+        return out
+
+    def _bio(self):
+        """Cached (kind_table, ph_table device arrays, ph_names)."""
+        if not hasattr(self, "_bio_cache"):
+            from ..ops.postprocess import bio_tables
+            kind, ph, names = bio_tables(self.label_list)
+            self._bio_cache = (jnp.asarray(kind), jnp.asarray(ph), names)
+        return self._bio_cache
+
+    def forward_many_decoded(self, audios: Sequence[np.ndarray],
+                             langs: Sequence[int],
+                             confidence_threshold: float,
+                             median_size: int):
+        """Fused batched forward + device-side postprocess + BIO decode —
+        the complete north-star chain (BASELINE.json): per-language logits
+        averaging, confidence gate, median filter, and the BIO→segments
+        state machine all run on device; ONE host transfer carries the
+        segment arrays (plus the averaged logits/offsets the .wfl_cache
+        contract needs on disk).
+
+        Every item shares the same language list ``langs`` (the batched
+        folder mode's shape). Returns per item
+        ``(mean_logits [T_i, n], mean_offsets [T_i, 2], segments)`` where
+        ``segments`` is the host List[Segment] — boundary times are
+        multiplied on host in float64 from device-gathered indices/f32
+        offsets, exactly matching ``labels.decode_bio_tags`` (so ``.lab``
+        int-truncation parity holds; tests/test_device_decode.py).
+        """
+        if not audios:
+            return []
+        n_items, n_langs = len(audios), len(langs)
+        logits, offsets, t_refs = self._forward_many_device(
+            audios, [list(langs)] * n_items)
+        kind_t, ph_t, ph_names = self._bio()
+        lengths = jnp.asarray(np.array(t_refs, np.int32))
+        o_id = self.label2id["O"]
+        b, e, p, so, eo, cnt, mlg, moff = _decode_rows_impl(
+            logits, offsets, lengths, jnp.float32(confidence_threshold),
+            kind_t, ph_t, n_items=n_items, n_langs=n_langs,
+            median_size=median_size, o_id=o_id)
+        # the single host transfer
+        b, e, p = np.asarray(b), np.asarray(e), np.asarray(p)
+        so, eo, cnt = np.asarray(so), np.asarray(eo), np.asarray(cnt)
+        mlg, moff = np.asarray(mlg), np.asarray(moff)
+
+        out = []
+        for i in range(n_items):
+            segs = []
+            for k in range(int(cnt[i])):
+                st = (int(b[i, k]) + float(so[i, k])) * FRAME_DURATION
+                en = (int(e[i, k]) + float(eo[i, k])) * FRAME_DURATION
+                segs.append((st, en, ph_names[int(p[i, k])]))
+            out.append((mlg[i, :t_refs[i]], moff[i, :t_refs[i]], segs))
         return out
 
     def decode_predictions(self, logits) -> np.ndarray:
@@ -656,6 +750,23 @@ def infer_folder_batched(folder_path: str, config_path: str = "config.yaml",
                  segments)
 
     def flush(group):
+        if session.cfg.device_decode:
+            # North-star path: per-lang averaging + gate + median + BIO
+            # decode all run on device; one transfer returns segment
+            # arrays (plus the averaged logits/offsets for .wfl_cache).
+            results = session.forward_many_decoded(
+                [g[1] for g in group], langs, confidence_threshold,
+                median_size)
+            for (name, _audio, logit_path, offset_path), \
+                    (logits, offsets, segs) in zip(group, results):
+                _cache_save(logit_path, logits)
+                _cache_save(offset_path, offsets)
+                if session.merge_map and lang_name:
+                    segs = [(s, e, canonical_to_lang(ph, lang_name,
+                                                     session.merge_map))
+                            for s, e, ph in segs]
+                finish(name, segs)
+            return
         results = session.forward_many([g[1] for g in group],
                                        [langs] * len(group))
         for (name, _audio, logit_path, offset_path), (lg, off) in \

@@ -1,11 +1,18 @@
-"""Device-side postprocess ops: confidence gate, median filter on ids.
+"""Device-side postprocess ops: confidence gate, median filter, BIO decode.
 
 The reference runs its postprocess chain on host NumPy after transferring
 logits (infer.py:163-174, SURVEY.md §3.3 "north star"). Here the frame-level
-chain — softmax confidence gate (infer.py:86-96) and median filter on label
+chain — softmax confidence gate (infer.py:86-96), median filter on label
 ids (infer.py:170-171, quirk Q8: ordinal smoothing over arbitrary id order,
-scipy reflect boundary) — runs on device so only final ids/offsets cross to
-host once.
+scipy reflect boundary), and the BIO→segments state machine (reference
+utils.py:10-74) — runs on device, so a single host transfer carries the
+final segment arrays.
+
+The state machine is vectorized, not scanned: after any frame the "open
+phoneme" state is a function of that frame alone (O clears it, B-x/I-x both
+set it to x), so starts/closes are computable from (frame, previous frame)
+pairs and the open segment's start index is a running max over start
+positions — all VPU-friendly elementwise/cumsum work, no sequential loop.
 """
 
 from __future__ import annotations
@@ -51,3 +58,134 @@ def median_filter_ids(ids: jnp.ndarray, size: int) -> jnp.ndarray:
                                               axis=-1)
                          for k in range(size)], axis=-1)  # [..., T, size]
     return jnp.sort(windows, axis=-1)[..., size // 2]
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def median_filter_ids_masked(ids: jnp.ndarray, size: int,
+                             length: jnp.ndarray) -> jnp.ndarray:
+    """``median_filter_ids`` honoring a TRUE length on a padded row.
+
+    Equals ``median_filter_ids(ids[:length], size)`` on the first ``length``
+    frames (scipy 'reflect'/symmetric boundary AT ``length``, not at the
+    padded end — the batched folder path runs rows of different true
+    lengths through one static shape). Frames ≥ length pass through.
+    Symmetric reflection is computed modularly (period 2·length), exact
+    even when the window exceeds the sequence. 1-D ids, scalar length.
+    """
+    if size <= 1 or ids.ndim == 0:
+        return ids
+    left = size // 2
+    t = ids.shape[-1]
+    i = jnp.arange(t)
+    n = jnp.maximum(length, 1)
+    cols = []
+    for k in range(size):
+        idx = i + (k - left)
+        m = jnp.mod(idx, 2 * n)
+        m = jnp.where(m >= n, 2 * n - 1 - m, m)
+        cols.append(jnp.take(ids, m))
+    win = jnp.stack(cols, axis=-1)
+    out = jnp.sort(win, axis=-1)[..., size // 2]
+    return jnp.where(i < length, out, ids)
+
+
+# ---------------------------------------------------------------------------
+# Device-side BIO → segments (reference utils.py:10-74 / labels.decode_bio_tags)
+# ---------------------------------------------------------------------------
+
+def bio_tables(label_list):
+    """Per-label-id decode tables for ``extract_segments_ids``.
+
+    Returns ``(kind, ph, ph_names)``: ``kind[id]`` ∈ {0: "O"/other,
+    1: "B-", 2: "I-"}; ``ph[id]`` indexes ``ph_names`` (the deduplicated
+    phoneme suffixes, so ``B-x`` and ``I-x`` share an index), −1 for "O".
+    Host-side, once per label set.
+    """
+    import numpy as np
+    ph_names = []
+    ph_index = {}
+    kind = np.zeros(len(label_list), np.int32)
+    ph = np.full(len(label_list), -1, np.int32)
+    for i, tag in enumerate(label_list):
+        if tag.startswith("B-"):
+            kind[i] = 1
+        elif tag.startswith("I-"):
+            kind[i] = 2
+        else:  # "O" (and any non-BIO tag decodes as O, matching the host
+            # decoder's startswith chain falling through)
+            continue
+        name = tag[2:]
+        if name not in ph_index:
+            ph_index[name] = len(ph_names)
+            ph_names.append(name)
+        ph[i] = ph_index[name]
+    return kind, ph, ph_names
+
+
+@jax.jit
+def extract_segments_ids(ids: jnp.ndarray, offsets: jnp.ndarray,
+                         length: jnp.ndarray, kind_table: jnp.ndarray,
+                         ph_table: jnp.ndarray):
+    """Device-side BIO state machine → fixed-size segment arrays.
+
+    Replicates ``labels.decode_bio_tags`` (reference utils.py:10-74) on
+    label IDS: a segment closes on "O", on any "B-", or on an "I-" with a
+    different phoneme; the end-of-sequence flush uses ``length - 1`` as the
+    end index (quirk Q14). Boundary *times* are NOT computed here — the
+    host multiplies ``(idx + offset) * frame_duration`` in float64 exactly
+    as the reference does, so ``.lab`` byte parity survives (f32 device
+    math would truncate differently through ``int(t * 1e7)``).
+
+    Args: ids [T] int (post gate/median); offsets [T, 2] f32 (pass 0.5-fill
+    for the no-offsets path); length: true frame count (≤ T);
+    kind_table/ph_table from :func:`bio_tables`.
+
+    Returns (start_idx [T] i32, end_idx [T] i32, ph_id [T] i32,
+    start_off [T] f32, end_off [T] f32, count i32); entries ≥ count are
+    padding. Segments appear in close order, flush last — the host decode's
+    emission order.
+    """
+    t = ids.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)
+    valid = idx < length
+    kind = jnp.where(valid, kind_table[ids], 0)
+    ph = jnp.where(kind != 0, ph_table[ids], -1)
+    active = kind != 0                      # open phoneme AFTER this frame
+    prev = jnp.concatenate([jnp.full((1,), -1, ph.dtype), ph[:-1]])
+    prev_active = prev != -1
+    is_start = active & ((kind == 1) | (ph != prev))
+    close_here = prev_active & valid & (
+        (~active) | (kind == 1) | (ph != prev))
+
+    start_pos = jnp.where(is_start, idx, -1)
+    run_start = jax.lax.cummax(start_pos)   # latest start so far
+    run_start_prev = jnp.concatenate(
+        [jnp.full((1,), -1, run_start.dtype), run_start[:-1]])
+
+    # flush (quirk Q14): if a segment is still open at frame length-1,
+    # close it with end index length-1.
+    last = jnp.maximum(length - 1, 0)
+    flush_on = (length > 0) & (ph[last] != -1)
+    flush_start = run_start[last]
+
+    # compact closes into [T]-sized outputs (≤ T segments by construction)
+    n_closes = jnp.sum(close_here.astype(jnp.int32))
+    pos = jnp.cumsum(close_here.astype(jnp.int32)) - 1
+    tgt = jnp.where(close_here, pos, t)     # t = dump slot
+    out_b = jnp.zeros(t + 1, jnp.int32).at[tgt].set(run_start_prev)
+    out_e = jnp.zeros(t + 1, jnp.int32).at[tgt].set(idx)
+    out_p = jnp.zeros(t + 1, jnp.int32).at[tgt].set(prev)
+    flush_tgt = jnp.where(flush_on, n_closes, t)
+    out_b = out_b.at[flush_tgt].set(flush_start)
+    out_e = out_e.at[flush_tgt].set(last)
+    out_p = out_p.at[flush_tgt].set(ph[last])
+    out_b, out_e, out_p = out_b[:t], out_e[:t], out_p[:t]
+
+    start_off = offsets[jnp.clip(out_b, 0, t - 1), 0]
+    end_off = offsets[jnp.clip(out_e, 0, t - 1), 1]
+    count = n_closes + flush_on.astype(jnp.int32)
+    return out_b, out_e, out_p, start_off, end_off, count
+
+
+extract_segments_batch = jax.jit(jax.vmap(
+    extract_segments_ids, in_axes=(0, 0, 0, None, None)))
