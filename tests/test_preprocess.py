@@ -56,18 +56,30 @@ def make_config(data_dir, save_dir, groups):
 
 
 def test_preprocess_artifact_parity(reference_oracle, tmp_path):
+    import contextlib
+    import io
     for groups in ([], [["A", "en/ae", "ja/a"], ["ja/cl", "en/t"]]):
         rng = random.Random(7)
         data_dir = make_fixture_dataset(str(tmp_path / f"d{len(groups)}"), rng)
         ours_dir = str(tmp_path / f"ours{len(groups)}")
         ref_dir = str(tmp_path / f"ref{len(groups)}")
 
-        our_preprocess(data_dir, make_config(data_dir, ours_dir, groups))
+        buf_ours = io.StringIO()
+        with contextlib.redirect_stdout(buf_ours):
+            our_preprocess(data_dir, make_config(data_dir, ours_dir, groups))
 
         import sys
         sys.modules["soundfile"].read = read_wav
-        reference_oracle.preprocess.preprocess(
-            data_dir, make_config(data_dir, ref_dir, groups))
+        buf_ref = io.StringIO()
+        with contextlib.redirect_stdout(buf_ref):
+            reference_oracle.preprocess.preprocess(
+                data_dir, make_config(data_dir, ref_dir, groups))
+
+        # console parity (reference preprocess.py:168-195): identical lines
+        # modulo the differing save_dir paths (tqdm goes to stderr)
+        norm = lambda s, d: s.replace(d, "SAVE")  # noqa: E731
+        assert norm(buf_ours.getvalue(), ours_dir) == \
+            norm(buf_ref.getvalue(), ref_dir)
 
         for name in ARTIFACTS:
             p_ours, p_ref = os.path.join(ours_dir, name), os.path.join(ref_dir, name)

@@ -133,6 +133,15 @@ def preprocess(data_dir: str, config: Dict[str, Any]) -> None:
     print(f"\nProcessed {len(dataset)} samples.")
     print(f"\nGenerated {len(all_tags)} BIO labels -> {phonemes_txt_path}")
     print(f"\nSaved language mapping -> {langs_txt_path}")
+    # Console parity with reference preprocess.py:182-189: the phoneme-list
+    # / merge-map save lines and the per-language usage dump.
+    print(f"\nSaved language phoneme list -> "
+          f"{os.path.join(save_dir, 'lang_phonemes.json')}")
+    if reverse_map:
+        print(f"\nSaved phoneme merge map -> {merge_map_path}")
+    print("\nPhoneme usage by language:")
+    for lang, phonemes in lang_phonemes.items():
+        print(f"  {lang}: {sorted(list(phonemes))}")
 
     cfg.num_languages = len(lang2id)
     save_raw_config(config, os.path.join(save_dir, "config.yaml"))
