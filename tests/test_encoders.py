@@ -254,3 +254,45 @@ def test_whisper_128mel_encoder_parity():
     ours = np.asarray(whisper_encode(params, arch, feats))
     assert ours.shape == ref.shape == (1, 1500, 64)
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_arch_from_local_hf_checkpoint_dir(tmp_path):
+    """A local HF checkpoint directory (the from_pretrained layout) is a
+    valid model name: config.json supplies the architecture, so a
+    custom-dimension fine-tuned encoder needs no manual overrides
+    (reference model.py:69-81 accepts any name)."""
+    from transformers import WavLMConfig, WhisperConfig
+    from wfl_asr_tpu.models.tagger import wavlm_arch_from_name
+    from wfl_asr_tpu.models.whisper import whisper_arch_from_name
+
+    wdir = tmp_path / "my-finetuned-wavlm"
+    wdir.mkdir()
+    WavLMConfig(hidden_size=96, num_hidden_layers=3, num_attention_heads=4,
+                intermediate_size=192, conv_dim=[32] * 7,
+                do_stable_layer_norm=True, conv_bias=True,
+                feat_extract_norm="layer").save_pretrained(str(wdir))
+    arch = wavlm_arch_from_name(str(wdir))
+    assert (arch.hidden_size, arch.num_layers, arch.num_heads) == (96, 3, 4)
+    assert arch.conv_dim == (32,) * 7
+    assert arch.do_stable_layer_norm and arch.conv_bias
+
+    qdir = tmp_path / "my-finetuned-whisper"
+    qdir.mkdir()
+    WhisperConfig(d_model=192, encoder_layers=2, encoder_attention_heads=3,
+                  encoder_ffn_dim=384, num_mel_bins=128,
+                  max_source_positions=750).save_pretrained(str(qdir))
+    warch = whisper_arch_from_name(str(qdir))
+    assert (warch.d_model, warch.num_layers, warch.num_heads) == (192, 2, 3)
+    assert warch.num_mel_bins == 128 and warch.max_source_positions == 750
+
+    # the TaggerArch.from_config path picks the dir name up end to end
+    from wfl_asr_tpu.config import Config
+    from wfl_asr_tpu.models.tagger import TaggerArch, init_tagger
+    cfg = Config({"data": {}, "model": {"encoder_type": "wavlm",
+                                        "wavlm_model": str(wdir),
+                                        "num_languages": 1},
+                  "training": {}, "output": {"save_dir": str(tmp_path)}})
+    t_arch = TaggerArch.from_config(cfg, num_labels=5)
+    assert t_arch.wavlm.hidden_size == 96 and t_arch.hidden_size == 96
+    params, state = init_tagger(jax.random.PRNGKey(0), t_arch)
+    assert params["encoder"]["layers"][0]["q"]["w"].shape == (96, 96)

@@ -48,6 +48,15 @@ WAVLM_PRESETS = {
 
 
 def wavlm_arch_from_name(model_name: str) -> WavLMArch:
+    # A local HF checkpoint directory (the layout from_pretrained consumes;
+    # reference model.py:72-81 accepts any name): read its config.json —
+    # custom-dimension fine-tuned encoders need no manual overrides.
+    import os
+    if os.path.isdir(model_name) and \
+            os.path.exists(os.path.join(model_name, "config.json")):
+        from transformers import WavLMConfig
+        return WavLMArch.from_hf_config(
+            WavLMConfig.from_pretrained(model_name))
     tail = model_name.split("/")[-1].removeprefix("wavlm-")
     if tail in WAVLM_PRESETS:
         return WAVLM_PRESETS[tail]
@@ -59,8 +68,9 @@ def wavlm_arch_from_name(model_name: str) -> WavLMArch:
     raise ValueError(
         f"Unknown wavlm model {model_name!r}. Known presets: "
         f"{sorted(WAVLM_PRESETS)} (plus task-suffixed variants of each). "
-        f"For a custom architecture set model.encoder_arch_overrides in "
-        f"the config (fields of WavLMArch).")
+        f"A local HF checkpoint DIRECTORY (with config.json) is also "
+        f"accepted. For a custom architecture set "
+        f"model.encoder_arch_overrides in the config (fields of WavLMArch).")
 
 
 @dataclass(frozen=True)

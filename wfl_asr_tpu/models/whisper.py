@@ -73,17 +73,26 @@ WHISPER_PRESETS = {
 
 def whisper_arch_from_name(model_name: str) -> WhisperArch:
     """Map names like "openai/whisper-base" / "whisper-small.en" /
-    "whisper-large-v3-turbo" to presets. Unknown variants raise with the
-    preset list — silently mapping (say) a 128-mel v3 onto the 80-mel
-    "large" preset would fail with an opaque shape error mid-forward."""
+    "whisper-large-v3-turbo" to presets, or read config.json from a local
+    HF checkpoint directory (the layout from_pretrained consumes; reference
+    model.py:69-71 accepts any name). Unknown names raise with the preset
+    list — silently mapping (say) a 128-mel v3 onto the 80-mel "large"
+    preset would fail with an opaque shape error mid-forward."""
+    import os
+    if os.path.isdir(model_name) and \
+            os.path.exists(os.path.join(model_name, "config.json")):
+        from transformers import WhisperConfig
+        return WhisperArch.from_hf_config(
+            WhisperConfig.from_pretrained(model_name))
     tail = model_name.split("/")[-1].removeprefix("whisper-")
     size = tail.split(".")[0]            # drop ".en" language suffix
     if size not in WHISPER_PRESETS:
         raise ValueError(
             f"Unknown whisper variant {model_name!r}. Known presets: "
-            f"{sorted(WHISPER_PRESETS)}. For a custom architecture set "
-            f"model.encoder_arch_overrides in the config (fields of "
-            f"WhisperArch, e.g. d_model/num_layers/num_mel_bins).")
+            f"{sorted(WHISPER_PRESETS)}. A local HF checkpoint DIRECTORY "
+            f"(with config.json) is also accepted. For a custom "
+            f"architecture set model.encoder_arch_overrides in the config "
+            f"(fields of WhisperArch, e.g. d_model/num_layers/num_mel_bins).")
     return WHISPER_PRESETS[size]
 
 
