@@ -106,6 +106,13 @@ def main() -> None:
             arch = dataclasses.replace(arch, whisper=dataclasses.replace(
                 arch.whisper, use_flash_attention=True))
     params, state = init_tagger(jax.random.PRNGKey(0), arch)
+    # WFL_BENCH_QUANT=int8: W8A8-dynamic quantization of the encoder's
+    # large linears (the serving int8 mode; RTFx delta vs bf16 is the
+    # number that gates it — docs/PERFORMANCE.md).
+    if os.environ.get("WFL_BENCH_QUANT") == "int8":
+        from wfl_asr_tpu.models.layers import quantize_tree_int8
+        params["encoder"] = quantize_tree_int8(params["encoder"])
+        log("int8 serving quantization: encoder linears")
     params = jax.device_put(params)
     state = jax.device_put(state)
 

@@ -276,6 +276,15 @@ class Config:
         return float(self._sec("postprocess").get("confidence_threshold", 0.0))  # infer.py:407-408
 
     @property
+    def serving_quantization(self) -> str:
+        """TPU addition: "int8" quantizes the encoder's large linears for
+        serving (W8A8-dynamic — int8 MXU path, 2× bf16 peak on v5e).
+        Checkpoints stay full-precision; quantization happens at session
+        load. Default "none"."""
+        return str(self._sec("model").get("serving_quantization",
+                                          "none")).lower()
+
+    @property
     def device_decode(self) -> bool:
         """TPU addition (no reference analogue): run the BIO→segments state
         machine on device in the batched folder mode, transferring segment

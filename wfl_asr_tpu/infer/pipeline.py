@@ -136,6 +136,20 @@ class InferenceSession:
                     self.arch, whisper=dataclasses.replace(
                         self.arch.whisper, use_flash_attention=True))
         params, state = load_model_checkpoint(checkpoint_path, self.arch)
+        quant = self.cfg.serving_quantization
+        if quant == "int8" and "encoder" in params:
+            # W8A8-dynamic int8 on the encoder's large linears (the
+            # dominant serving FLOPs). layers.linear dispatches on the
+            # quantized param form; everything else is unchanged.
+            from ..models.layers import quantize_tree_int8
+            params = dict(params)
+            params["encoder"] = quantize_tree_int8(params["encoder"])
+            print("[INFO] int8 serving: encoder linears quantized "
+                  "(W8A8-dynamic, per-output-channel weights)")
+        elif quant not in ("none", "int8"):
+            raise ValueError(
+                f"model.serving_quantization={quant!r}: only 'int8' or "
+                f"'none' are supported")
         # Serving-path data parallelism: with a mesh, params/state are
         # replicated and batch rows shard on 'data' (the training-side DP
         # story extended to inference; SURVEY.md §2 parallelism table).
