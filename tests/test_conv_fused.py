@@ -64,6 +64,40 @@ def test_fused_chain_batch_block(b, bb):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,bb,has_norm", [
+    (4, 2, False),
+    (4, 4, True),
+])
+def test_fused_chain_packed_matches_xla(monkeypatch, b, bb, has_norm):
+    """WFL_CONV_PACKED: batch rows fused into single taller matmuls per
+    invocation (the grid-packing dispatch-floor variant) — numerics must
+    match the per-row kernel / XLA chain exactly, including the fused
+    input-norm+GELU path."""
+    from wfl_asr_tpu.ops.pallas import conv_fused
+    monkeypatch.setattr(conv_fused, "PACKED", True)
+    rng = np.random.RandomState(100 * b + bb + has_norm)
+    t, c = 1096 + b + bb + has_norm, 64   # unique shapes: fresh jit trace
+    x = jnp.asarray((rng.randn(b, t, c) * 0.4).astype(np.float32))
+    ws = make_chain(5, c, (3, 2, 2))
+    if has_norm:
+        mean = jnp.asarray(rng.randn(b, c).astype(np.float32) * 0.1)
+        inv = jnp.asarray((1.0 + rng.rand(b, c)).astype(np.float32))
+        scale = jnp.asarray(rng.randn(c).astype(np.float32))
+        bias = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+        norm = (mean, inv, scale, bias)
+        xin = jax.nn.gelu((x - mean[:, None]) * inv[:, None] * scale + bias,
+                          approximate=False)
+        ref = xla_chain(xin, ws)
+    else:
+        norm = None
+        ref = xla_chain(x, ws)
+    out = fused_conv_chain(x, ws, tile_out=32, input_norm=norm,
+                           batch_block=bb)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_chain_bf16():
     rng = np.random.RandomState(3)
     b, t, c = 1, 1100, 64

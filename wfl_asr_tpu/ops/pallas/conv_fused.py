@@ -56,6 +56,13 @@ MAX_CHAIN = int(os.environ.get("WFL_CONV_CHAIN", "3"))
 # adds no overlap) and WFL_CONV_BB=4 overflows scoped VMEM (16.10 MB > 16).
 # The knob stays for reproducing the sweep (scripts/ablate_conv.py).
 DEFAULT_BATCH_BLOCK = int(os.environ.get("WFL_CONV_BB", "1"))
+# WFL_CONV_PACKED=1 (with WFL_CONV_BB>1): instead of the sequential
+# in-kernel row loop, fuse the invocation's nb batch rows into single
+# taller matmuls ([nb·(t+1), 2C] @ [2C, C]) — the grid-packing variant of
+# the dispatch-floor question (VERDICT r3 #6): same halved invocation
+# count as WFL_CONV_BB, but the extra rows become MXU work in ONE dot
+# instead of nb sequential small dots.
+PACKED = os.environ.get("WFL_CONV_PACKED", "0") == "1"
 
 
 def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +86,50 @@ def _in_rows_needed(t_out: int, k: int) -> int:
     # k=3: the [t+1]-row tap trick reads rows [0, 2·t_out+2);
     # k=2: exactly 2·t_out rows.
     return 2 * t_out + (2 if k == 3 else 0)
+
+
+def _kernel_packed(x_ref, halo_ref, mean_ref, inv_ref, scale_ref, bias_ref,
+                   *rest, ks: Sequence[int], t_outs: Sequence[int], c: int,
+                   has_norm: bool):
+    """Batch-packed variant: the invocation's nb rows are carried as the
+    leading dim of every intermediate and each layer runs ONE
+    [nb·rows, 2C] @ [2C, C] matmul (rows flattened across batch), so the
+    per-invocation fixed cost is amortized over nb× the MXU work. The k=3
+    tap-2 rows are over-computed by one row per element and discarded
+    after the 3-D reshape (same trick as the per-row kernel)."""
+    w_refs, out_ref = rest[:-1], rest[-1]
+    nb = x_ref.shape[0]
+    cur = jnp.concatenate([x_ref[:], halo_ref[:]], axis=1)  # [nb,main+128,C]
+    if has_norm:
+        xf = (cur.astype(jnp.float32) - mean_ref[:]) * inv_ref[:]
+        cur = _gelu_f32(xf * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
+    wi = 0
+    for k, t_o in zip(ks, t_outs):
+        if k == 3:
+            w01, w2 = w_refs[wi][:], w_refs[wi + 1][:]
+            wi += 2
+            # [nb, 2t+2, C] → [nb, t+1, 2C] (row-pair merge per element)
+            v0 = cur[:, : 2 * t_o + 2].reshape(nb, t_o + 1, 2 * c)
+            v0f = v0.reshape(nb * (t_o + 1), 2 * c)
+            acc = jax.lax.dot_general(
+                v0f, w01, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # taps 0,1
+            t2 = jax.lax.dot_general(
+                v0f[:, :c], w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # tap 2
+            acc = acc.reshape(nb, t_o + 1, c)
+            t2 = t2.reshape(nb, t_o + 1, c)
+            # row i needs t2[i+1]: roll up one row on the sublane axis
+            acc = acc[:, :t_o] + pltpu.roll(t2, shift=t_o, axis=1)[:, :t_o]
+        else:  # k == 2
+            w01 = w_refs[wi][:]
+            wi += 1
+            v0 = cur[:, : 2 * t_o].reshape(nb * t_o, 2 * c)
+            acc = jax.lax.dot_general(
+                v0, w01, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(nb, t_o, c)
+        cur = _gelu_f32(acc).astype(x_ref.dtype)
+    out_ref[:] = cur
 
 
 def _kernel(x_ref, halo_ref, mean_ref, inv_ref, scale_ref, bias_ref,
@@ -250,7 +301,8 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int,
                      memory_space=pltpu.VMEM),               # bias [1,1,C]
     ]
 
-    kernel = functools.partial(_kernel, ks=tuple(ks), t_outs=tuple(t_outs),
+    kernel_fn = _kernel_packed if (PACKED and nb > 1) else _kernel
+    kernel = functools.partial(kernel_fn, ks=tuple(ks), t_outs=tuple(t_outs),
                                c=c, has_norm=has_norm)
 
     out = pl.pallas_call(
