@@ -62,7 +62,11 @@ def wait_for_backend(max_wait_s: float) -> "list":
 def main() -> None:
     # Bring the backend up FIRST, with retry — one transient relay outage
     # must not void a round's only driver capture (VERDICT r3 weak #1).
-    max_wait = float(os.environ.get("WFL_BENCH_BACKEND_WAIT_S", "900"))
+    # Observed outage mode (2026-08-18): each jax.devices() attempt can
+    # HANG ~25 min inside backend init before raising UNAVAILABLE, and
+    # outages last an hour or more — so the window must cover several
+    # hanging attempts, not just quick-fail retries.
+    max_wait = float(os.environ.get("WFL_BENCH_BACKEND_WAIT_S", "2700"))
     devices = wait_for_backend(max_wait)
 
     import jax

@@ -322,15 +322,24 @@ def finetune_surgery(params, state, arch: TaggerArch, cfg: Config,
 
 def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
              label_list, cfg: Config, writer, step: int, id2lang,
-             merge_map=None, mesh=None) -> float:
+             merge_map=None, mesh=None, cross_host: bool = False) -> float:
     """Reference evaluate() (train.py:456-545): CE, frame accuracy, PER, TER,
-    median-filtered decode, merged segments, first-N prediction figures."""
+    median-filtered decode, merged segments, first-N prediction figures.
+
+    ``cross_host``: sharded multi-host validation — ``val_loader`` holds
+    only this process's shard of the val set; local sums are allgathered
+    and reduced so every host derives IDENTICAL global metrics (schedulers
+    stay in sync by construction). The loss becomes the token-weighted CE
+    over the global val set (invariant to how samples land on hosts or in
+    batches), vs the single-host mode's reference-parity mean of batch
+    means. Prediction figures cover only process 0's shard."""
     id2label = {i: l for i, l in enumerate(label_list)}
     median_size = cfg.median_filter
     merge_mode = cfg.merge_segments
     frame_duration = cfg.frame_duration
 
     val_losses, total_acc, total_per, total_ter, count = [], 0.0, 0.0, 0.0, 0
+    loss_tok_sum, tok_count = 0.0, 0.0
     vis_limit = cfg.num_vis_samples
 
     for batch in val_loader.epoch_batches(epoch=0):
@@ -353,6 +362,13 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
         pred_ids = np.asarray(pred_ids)
         offsets = np.asarray(offsets)
         labels_np = np.asarray(batch["labels"])
+        if cross_host:
+            # token-weighted sums: the CE is a mean over valid (!= -100)
+            # positions, so ce × n_tokens is exactly recomposable across
+            # any batching/sharding of the same samples.
+            n_tok = float((labels_np[:n_real] != -100).sum())
+            loss_tok_sum += float(ce) * n_tok
+            tok_count += n_tok
 
         for j in range(n_real):
             label_len = int(batch["label_lengths"][j])
@@ -392,7 +408,23 @@ def evaluate(params, model_state, arch: TaggerArch, eval_step, val_loader,
                 writer.add_figure(f"val/prediction_{count}_{j}", fig,
                                   global_step=step)
 
-    avg_loss = float(np.mean(val_losses)) if val_losses else 0.0
+    if cross_host:
+        # Sum the per-host metric sums over all processes; every host
+        # computes the same global metrics from the same gathered array.
+        # (f32 transfer: token counts are exact in f32 up to 2^24 —
+        # far beyond any val-set size at val cadence.)
+        from jax.experimental import multihost_utils
+        local = np.array([loss_tok_sum, tok_count, total_acc, total_per,
+                          total_ter, float(count)], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        sums = gathered.sum(axis=0)
+        loss_tok_sum, tok_count = float(sums[0]), float(sums[1])
+        total_acc, total_per, total_ter = (float(sums[2]), float(sums[3]),
+                                           float(sums[4]))
+        count = int(round(float(sums[5])))
+        avg_loss = loss_tok_sum / tok_count if tok_count else 0.0
+    else:
+        avg_loss = float(np.mean(val_losses)) if val_losses else 0.0
     avg_acc = total_acc / count if count else 0.0
     avg_per = total_per / count if count else 0.0
     avg_ter = total_ter / count if count else 0.0
@@ -473,7 +505,19 @@ def train(config_path: str = "config.yaml",
                                fixed_audio_len=fixed_audio,
                                fixed_label_len=fixed_label,
                                fixed_targets_len=fixed_targets)
-    val_loader = BatchLoader(dataset, val_idx, cfg.batch_size,
+    # training.sharded_validation: instead of every host evaluating the
+    # FULL val set (default — zero cross-host traffic, O(hosts) redundant
+    # compute), partition the val set across processes and allgather-sum
+    # the metric sums (evaluate(cross_host=True)). Global metrics are
+    # identical on every host by construction, so schedulers stay in sync;
+    # eval compute scales 1/hosts. Worth it at pod scale.
+    sharded_val = pcount > 1 and bool(
+        cfg.raw.get("training", {}).get("sharded_validation", False))
+    val_idx_local = val_idx[pidx::pcount] if sharded_val else val_idx
+    if sharded_val:
+        print(f"[INFO] Sharded validation: process {pidx} evaluates "
+              f"{len(val_idx_local)}/{len(val_idx)} val files")
+    val_loader = BatchLoader(dataset, val_idx_local, cfg.batch_size,
                              seed=cfg.seed, shuffle=False,
                              frame_duration=cfg.frame_duration)
 
@@ -881,7 +925,8 @@ def train(config_path: str = "config.yaml",
                     val_loss = evaluate(
                         jax.device_get(params), jax.device_get(model_state),
                         arch, eval_step_local, val_loader, label_list, cfg,
-                        writer, step, id2lang, merge_map, mesh=None)
+                        writer, step, id2lang, merge_map, mesh=None,
+                        cross_host=sharded_val)
                 else:
                     val_loss = evaluate(params, model_state, arch, eval_step,
                                         val_loader, label_list, cfg, writer,
