@@ -52,8 +52,9 @@ def wait_for_backend(max_wait_s: float) -> "list":
             if remaining <= 0:
                 log(f"backend init failed after {attempt} attempts; giving up")
                 raise
+            first = (str(e).splitlines() or ["<no message>"])[0]
             log(f"backend unavailable (attempt {attempt}): "
-                f"{str(e).splitlines()[0][:120]}; retrying in {delay:.0f}s "
+                f"{first[:120]}; retrying in {delay:.0f}s "
                 f"({remaining/60:.1f} min left)")
             time.sleep(min(delay, remaining))
             delay = min(delay * 1.6, 60.0)

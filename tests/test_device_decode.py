@@ -20,9 +20,15 @@ from wfl_asr_tpu.ops.postprocess import (bio_tables, extract_segments_ids,
 FRAME = 0.02
 
 
-def _label_list():
+def _label_list(with_stray=False):
     phs = ["a", "b", "SP", "k"]
-    return ["O"] + [f"B-{p}" for p in phs] + [f"I-{p}" for p in phs]
+    tags = ["O"] + [f"B-{p}" for p in phs] + [f"I-{p}" for p in phs]
+    if with_stray:
+        # non-BIO strays (hand-edited / legacy phonemes.txt): the host
+        # decoder's startswith chain falls through on these — neither
+        # open nor close.
+        tags += ["SIL", "<pad>"]
+    return tags
 
 
 def _device_decode(ids, offsets, length, label_list):
@@ -50,8 +56,9 @@ def _host_decode(ids, offsets, length, label_list):
 
 
 @pytest.mark.parametrize("with_offsets", [False, True])
-def test_extract_segments_randomized(with_offsets):
-    label_list = _label_list()
+@pytest.mark.parametrize("with_stray", [False, True])
+def test_extract_segments_randomized(with_offsets, with_stray):
+    label_list = _label_list(with_stray)
     rng = np.random.RandomState(0)
     for trial in range(40):
         t = int(rng.randint(1, 60))
@@ -77,6 +84,32 @@ def test_extract_segments_edge_cases():
         ([0, 0, 1], 3),                  # B at last frame: flush only
         ([1, 5, 5], 2),                  # true length shorter than ids
         ([1, 2, 3, 4], 4),               # B chain of distinct phonemes
+    ]
+    for ids, length in cases:
+        for offsets in (None,
+                        np.linspace(0, 1, 2 * len(ids))
+                        .reshape(len(ids), 2).astype(np.float32)):
+            got = _device_decode(ids, offsets, length, label_list)
+            want = _host_decode(ids, offsets, length, label_list)
+            assert got == want, (ids, length)
+
+
+def test_extract_segments_stray_passthrough():
+    """Non-BIO tags are pass-through in the host decoder (labels.py falls
+    through its startswith chain) — the device decode must keep the open
+    segment open across them, not close it like an O."""
+    label_list = _label_list(with_stray=True)
+    sil = label_list.index("SIL")        # 9
+    pad = label_list.index("<pad>")      # 10
+    cases = [
+        ([1, sil, 5, 5], 4),             # B-a SIL I-a I-a: ONE segment
+        ([1, sil, 6], 3),                # B-a SIL I-b: close at I-b
+        ([sil, sil, sil], 3),            # all stray: no segments
+        ([0, sil, 5], 3),                # O SIL I-a: open at I-a
+        ([1, sil], 2),                   # flush across a trailing stray
+        ([sil, 1, pad, 0], 4),           # stray B-a stray O: close on O
+        ([1, pad, pad, pad], 4),         # long stray tail, flush
+        ([1, sil, 1], 3),                # B-a SIL B-a: close + reopen
     ]
     for ids, length in cases:
         for offsets in (None,

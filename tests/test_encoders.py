@@ -296,3 +296,28 @@ def test_arch_from_local_hf_checkpoint_dir(tmp_path):
     assert t_arch.wavlm.hidden_size == 96 and t_arch.hidden_size == 96
     params, state = init_tagger(jax.random.PRNGKey(0), t_arch)
     assert params["encoder"]["layers"][0]["q"]["w"].shape == (96, 96)
+
+
+def test_local_checkpoint_dir_wrong_model_type_raises(tmp_path):
+    """Pointing wavlm_model at a whisper directory (or vice versa) must
+    fail loudly: from_pretrained only WARNS on a model_type mismatch and
+    would return default-valued config — a silently wrong-dimension
+    arch."""
+    import pytest
+    from transformers import WavLMConfig, WhisperConfig
+    from wfl_asr_tpu.models.tagger import wavlm_arch_from_name
+    from wfl_asr_tpu.models.whisper import whisper_arch_from_name
+
+    wdir = tmp_path / "a-whisper-ckpt"
+    wdir.mkdir()
+    WhisperConfig(d_model=192, encoder_layers=2, encoder_attention_heads=3,
+                  encoder_ffn_dim=384).save_pretrained(str(wdir))
+    with pytest.raises(ValueError, match="model_type='whisper'"):
+        wavlm_arch_from_name(str(wdir))
+
+    vdir = tmp_path / "a-wavlm-ckpt"
+    vdir.mkdir()
+    WavLMConfig(hidden_size=96, num_hidden_layers=3, num_attention_heads=4,
+                intermediate_size=192).save_pretrained(str(vdir))
+    with pytest.raises(ValueError, match="model_type='wavlm'"):
+        whisper_arch_from_name(str(vdir))

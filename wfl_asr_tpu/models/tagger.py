@@ -54,7 +54,19 @@ def wavlm_arch_from_name(model_name: str) -> WavLMArch:
     import os
     if os.path.isdir(model_name) and \
             os.path.exists(os.path.join(model_name, "config.json")):
+        import json
         from transformers import WavLMConfig
+        # from_pretrained only WARNS on a model_type mismatch and returns a
+        # default-valued WavLMConfig — a whisper (or any other) directory
+        # would silently build a wrong-dimension arch and die later with an
+        # opaque shape error. Check the declared type up front.
+        with open(os.path.join(model_name, "config.json")) as f:
+            declared = json.load(f).get("model_type")
+        if declared not in (None, "wavlm"):
+            raise ValueError(
+                f"{model_name!r} declares model_type={declared!r} in its "
+                f"config.json; model.wavlm_model needs a 'wavlm' checkpoint "
+                f"directory.")
         return WavLMArch.from_hf_config(
             WavLMConfig.from_pretrained(model_name))
     tail = model_name.split("/")[-1].removeprefix("wavlm-")

@@ -81,7 +81,17 @@ def whisper_arch_from_name(model_name: str) -> WhisperArch:
     import os
     if os.path.isdir(model_name) and \
             os.path.exists(os.path.join(model_name, "config.json")):
+        import json
         from transformers import WhisperConfig
+        # from_pretrained only WARNS on a model_type mismatch and returns
+        # default values — check the declared type before building an arch.
+        with open(os.path.join(model_name, "config.json")) as f:
+            declared = json.load(f).get("model_type")
+        if declared not in (None, "whisper"):
+            raise ValueError(
+                f"{model_name!r} declares model_type={declared!r} in its "
+                f"config.json; model.whisper_model needs a 'whisper' "
+                f"checkpoint directory.")
         return WhisperArch.from_hf_config(
             WhisperConfig.from_pretrained(model_name))
     tail = model_name.split("/")[-1].removeprefix("whisper-")

@@ -9,10 +9,12 @@ utils.py:10-74) — runs on device, so a single host transfer carries the
 final segment arrays.
 
 The state machine is vectorized, not scanned: after any frame the "open
-phoneme" state is a function of that frame alone (O clears it, B-x/I-x both
-set it to x), so starts/closes are computable from (frame, previous frame)
-pairs and the open segment's start index is a running max over start
-positions — all VPU-friendly elementwise/cumsum work, no sequential loop.
+phoneme" state is set by the last non-pass-through frame (O clears it,
+B-x/I-x set it to x, other tags keep it), recoverable with a cummax over
+frame indices plus one gather; starts/closes are then (frame, previous
+state) pairs and the open segment's start index is a running max over
+start positions — all VPU-friendly elementwise/cumsum work, no
+sequential loop.
 """
 
 from __future__ import annotations
@@ -96,9 +98,14 @@ def median_filter_ids_masked(ids: jnp.ndarray, size: int,
 def bio_tables(label_list):
     """Per-label-id decode tables for ``extract_segments_ids``.
 
-    Returns ``(kind, ph, ph_names)``: ``kind[id]`` ∈ {0: "O"/other,
-    1: "B-", 2: "I-"}; ``ph[id]`` indexes ``ph_names`` (the deduplicated
-    phoneme suffixes, so ``B-x`` and ``I-x`` share an index), −1 for "O".
+    Returns ``(kind, ph, ph_names)``: ``kind[id]`` ∈ {0: "O", 1: "B-",
+    2: "I-", 3: any other tag}; ``ph[id]`` indexes ``ph_names`` (the
+    deduplicated phoneme suffixes, so ``B-x`` and ``I-x`` share an index),
+    −1 for non-BIO. Kind 3 is a PASS-THROUGH: the host decoder
+    (labels.py:117-137, reference utils.py:10-74) closes only on the exact
+    tag ``"O"`` and falls through its startswith chain on anything else,
+    leaving the open segment open — so a stray non-BIO label (hand-edited
+    phonemes.txt) must neither open nor close on device either.
     Host-side, once per label set.
     """
     import numpy as np
@@ -111,8 +118,10 @@ def bio_tables(label_list):
             kind[i] = 1
         elif tag.startswith("I-"):
             kind[i] = 2
-        else:  # "O" (and any non-BIO tag decodes as O, matching the host
-            # decoder's startswith chain falling through)
+        elif tag == "O":
+            continue
+        else:
+            kind[i] = 3
             continue
         name = tag[2:]
         if name not in ph_index:
@@ -149,13 +158,20 @@ def extract_segments_ids(ids: jnp.ndarray, offsets: jnp.ndarray,
     idx = jnp.arange(t, dtype=jnp.int32)
     valid = idx < length
     kind = jnp.where(valid, kind_table[ids], 0)
-    ph = jnp.where(kind != 0, ph_table[ids], -1)
-    active = kind != 0                      # open phoneme AFTER this frame
-    prev = jnp.concatenate([jnp.full((1,), -1, ph.dtype), ph[:-1]])
+    is_bio = (kind == 1) | (kind == 2)
+    ph = jnp.where(is_bio, ph_table[ids], -1)
+    # Open-phoneme state AFTER frame i: kind 3 (non-BIO pass-through) keeps
+    # the previous state, so eff[i] is the state set by the last
+    # non-pass-through frame ≤ i (B/I set it to their phoneme, O clears) —
+    # a cummax over frame indices plus one gather, still no scan.
+    sel = jnp.where(kind != 3, idx, -1)
+    last_sel = jax.lax.cummax(sel)
+    eff = jnp.where(last_sel >= 0, ph[jnp.clip(last_sel, 0, t - 1)], -1)
+    prev = jnp.concatenate([jnp.full((1,), -1, eff.dtype), eff[:-1]])
     prev_active = prev != -1
-    is_start = active & ((kind == 1) | (ph != prev))
+    is_start = (kind == 1) | ((kind == 2) & (ph != prev))
     close_here = prev_active & valid & (
-        (~active) | (kind == 1) | (ph != prev))
+        (kind == 0) | (kind == 1) | ((kind == 2) & (ph != prev)))
 
     start_pos = jnp.where(is_start, idx, -1)
     run_start = jax.lax.cummax(start_pos)   # latest start so far
@@ -165,7 +181,7 @@ def extract_segments_ids(ids: jnp.ndarray, offsets: jnp.ndarray,
     # flush (quirk Q14): if a segment is still open at frame length-1,
     # close it with end index length-1.
     last = jnp.maximum(length - 1, 0)
-    flush_on = (length > 0) & (ph[last] != -1)
+    flush_on = (length > 0) & (eff[last] != -1)
     flush_start = run_start[last]
 
     # compact closes into [T]-sized outputs (≤ T segments by construction)
@@ -178,14 +194,10 @@ def extract_segments_ids(ids: jnp.ndarray, offsets: jnp.ndarray,
     flush_tgt = jnp.where(flush_on, n_closes, t)
     out_b = out_b.at[flush_tgt].set(flush_start)
     out_e = out_e.at[flush_tgt].set(last)
-    out_p = out_p.at[flush_tgt].set(ph[last])
+    out_p = out_p.at[flush_tgt].set(eff[last])
     out_b, out_e, out_p = out_b[:t], out_e[:t], out_p[:t]
 
     start_off = offsets[jnp.clip(out_b, 0, t - 1), 0]
     end_off = offsets[jnp.clip(out_e, 0, t - 1), 1]
     count = n_closes + flush_on.astype(jnp.int32)
     return out_b, out_e, out_p, start_off, end_off, count
-
-
-extract_segments_batch = jax.jit(jax.vmap(
-    extract_segments_ids, in_axes=(0, 0, 0, None, None)))
