@@ -285,6 +285,23 @@ class Config:
                                           "none")).lower()
 
     @property
+    def serving_pipeline_parallel(self) -> int:
+        """TPU addition: GPipe-pipeline the encoder's transformer stack
+        over S stages at session load (parallel/pp.py) — each device holds
+        layers/S of the encoder, so models up to S× single-chip HBM serve
+        without weight-sharding the matmuls. 0/1 disables. Needs
+        visible_devices % S == 0 and encoder layers % S == 0."""
+        return int(self._sec("model").get("pipeline_parallel", 0))
+
+    @property
+    def serving_sequence_parallel(self) -> bool:
+        """TPU addition: shard the encoder's time axis over the mesh's
+        'model' axis between layers (Megatron-SP, parallel/sp.py). Serving
+        counterpart of training.sequence_parallel; only meaningful when the
+        session runs on a mesh with model_parallel > 1."""
+        return bool(self._sec("model").get("sequence_parallel", False))
+
+    @property
     def device_decode(self) -> bool:
         """TPU addition (no reference analogue): run the BIO→segments state
         machine on device in the batched folder mode, transferring segment

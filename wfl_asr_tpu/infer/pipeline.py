@@ -57,16 +57,18 @@ BUCKET_SECONDS = 1.0           # static-shape compile granularity
 
 
 @functools.partial(jax.jit, static_argnames=("arch", "masked", "precentered",
-                                             "compute_dtype", "mesh"))
+                                             "compute_dtype", "mesh",
+                                             "sequence_parallel"))
 def _forward_impl(params, state, arch, audio, lang_ids, sample_mask,
                   frame_mask, pos_bias, masked: bool, precentered: bool,
-                  compute_dtype, mesh=None):
+                  compute_dtype, mesh=None, sequence_parallel: bool = False):
     logits, offsets, _ = apply_tagger(
         params, state, arch, audio, lang_ids,
         sample_mask=sample_mask if masked else None,
         frame_mask=frame_mask if masked else None,
         precentered=precentered, compute_dtype=compute_dtype,
-        precomputed_pos_bias=pos_bias, mesh=mesh)
+        precomputed_pos_bias=pos_bias, mesh=mesh,
+        sequence_parallel=sequence_parallel)
     return logits, offsets
 
 
@@ -153,10 +155,63 @@ class InferenceSession:
         # Serving-path data parallelism: with a mesh, params/state are
         # replicated and batch rows shard on 'data' (the training-side DP
         # story extended to inference; SURVEY.md §2 parallelism table).
+        # model.pipeline_parallel: S — GPipe the encoder stack over a
+        # ('data','stage') mesh (parallel/pp.py). Built here when the
+        # caller didn't supply a stage mesh already; composes with DP on
+        # the leading 'data' axis.
+        pp_stages = int(self.cfg.serving_pipeline_parallel)
+        if pp_stages > 1 and self.arch.encoder_type not in ("wavlm",
+                                                            "whisper"):
+            raise ValueError("model.pipeline_parallel needs a layered "
+                             "encoder (wavlm or whisper)")
+        if pp_stages > 1:
+            from ..parallel import pp as _pp
+            if mesh is None:
+                if len(jax.devices()) % pp_stages:
+                    raise ValueError(
+                        f"model.pipeline_parallel={pp_stages} does not "
+                        f"divide the {len(jax.devices())} visible devices")
+                mesh = _pp.make_pp_mesh(pp_stages)
+            elif "stage" not in mesh.shape:
+                raise ValueError(
+                    "model.pipeline_parallel needs a ('data','stage') "
+                    "mesh; the session was given one without a 'stage' "
+                    "axis")
+            params = dict(params)
+            enc = dict(params["encoder"])
+            enc["layers"] = _pp.stack_layers(enc["layers"])
+            params["encoder"] = enc
+            print(f"[INFO] pipeline-parallel serving: encoder layers over "
+                  f"{pp_stages} stages (mesh {dict(mesh.shape)})")
         self.mesh = mesh
+        # model.sequence_parallel: Megatron-SP activation sharding between
+        # encoder layers (parallel/sp.py); needs a mesh with model > 1.
+        mp = dict(mesh.shape).get("model", 1) if mesh is not None else 1
+        self.sequence_parallel = bool(self.cfg.serving_sequence_parallel
+                                      and mp > 1)
+        if self.cfg.serving_sequence_parallel and not self.sequence_parallel:
+            print("[WARN] model.sequence_parallel ignored: the session has "
+                  "no mesh with a >1 'model' axis")
         if mesh is not None:
             from ..parallel import replicate
-            self.params = replicate(params, mesh)
+            if pp_stages > 1:
+                # Stacked encoder layers shard their leading (layer) axis
+                # over 'stage'; everything else replicates.
+                from ..parallel import pp as _pp
+                stacked = params["encoder"].pop("layers")
+                self.params = replicate(params, mesh)
+                enc = dict(self.params["encoder"])
+                enc["layers"] = _pp.place_stacked(stacked, mesh)
+                self.params = dict(self.params)
+                self.params["encoder"] = enc
+            elif mp > 1:
+                # Megatron TP serving: weight shards on 'model' (quantized
+                # int8 leaves keep replicated placement — their param names
+                # fall outside tp.py's column/row tables, by design).
+                from ..parallel import shard_params_tp
+                self.params = shard_params_tp(params, mesh)
+            else:
+                self.params = replicate(params, mesh)
             self.state = replicate(state, mesh)
         else:
             self.params = jax.device_put(params)
@@ -184,7 +239,8 @@ class InferenceSession:
         return _forward_impl(self.params, self.state, self.arch,
                              audio, lang_ids, sample_mask, frame_mask,
                              self._pos_bias_for(t_pad), masked, precentered,
-                             self.compute_dtype, mesh=self.mesh)
+                             self.compute_dtype, mesh=self.mesh,
+                             sequence_parallel=self.sequence_parallel)
 
     def _put(self, x) -> jnp.ndarray:
         """Device-put a batch array; with a mesh, shard rows on 'data'."""
@@ -618,8 +674,15 @@ def _get_session(config_path: str, checkpoint_path: str,
     if session is None or (want_mesh and session.mesh is None):
         mesh = None
         if want_mesh:
-            from ..parallel import make_mesh
-            mesh = make_mesh()
+            from ..config import Config as _Cfg
+            if int(_Cfg.load(config_path).serving_pipeline_parallel) > 1:
+                # model.pipeline_parallel: the session builds its own
+                # ('data','stage') mesh; a ('data','model') one here
+                # would conflict.
+                mesh = None
+            else:
+                from ..parallel import make_mesh
+                mesh = make_mesh()
         _SESSION_CACHE[key] = session = InferenceSession(
             config_path, checkpoint_path, mesh=mesh)
     return session

@@ -220,7 +220,9 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            compute_dtype=jnp.float32,
            sample_mask=None, frame_mask=None,
            precentered: bool = False,
-           precomputed_pos_bias=None, mesh=None) -> jnp.ndarray:
+           precomputed_pos_bias=None, mesh=None,
+           sequence_parallel: bool = False,
+           pp_microbatches: int = 0) -> jnp.ndarray:
     """Front-end + encoder → hidden states [B, T_enc, H], all on device.
 
     ``sample_mask``/``frame_mask``/``precentered`` support bucket-padded
@@ -231,7 +233,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
         feats = whisper_log_mel(audio, n_mels=arch.whisper.num_mel_bins)
         return whisper_encode(params["encoder"], arch.whisper, feats,
                               rng=rng, deterministic=deterministic,
-                              compute_dtype=compute_dtype, mesh=mesh)
+                              compute_dtype=compute_dtype, mesh=mesh,
+                              sequence_parallel=sequence_parallel)
     if arch.encoder_type == "wavlm":
         if sample_mask is not None:
             normed = wav2vec2_normalize_masked(audio, sample_mask)
@@ -242,7 +245,9 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
                             rng=rng, deterministic=deterministic,
                             compute_dtype=compute_dtype,
                             precomputed_pos_bias=precomputed_pos_bias,
-                            mesh=mesh)
+                            mesh=mesh,
+                            sequence_parallel=sequence_parallel,
+                            pp_microbatches=pp_microbatches)
     # encoder_type "none": mel features are the hidden states (model.py:149-150)
     hop = int(arch.frame_duration * arch.sample_rate)
     return mel_spectrogram(audio, arch.sample_rate, 400, hop, arch.n_mels,
@@ -267,7 +272,9 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                  compute_dtype=jnp.float32,
                  sample_mask=None, frame_mask=None,
                  precentered: bool = False,
-                 precomputed_pos_bias=None, mesh=None):
+                 precomputed_pos_bias=None, mesh=None,
+                 sequence_parallel: bool = False,
+                 pp_microbatches: int = 0):
     """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
 
     ``mesh``: a ('data','model') jax.sharding.Mesh — the Pallas kernels
@@ -297,7 +304,9 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                     deterministic=deterministic, compute_dtype=compute_dtype,
                     sample_mask=sample_mask, frame_mask=frame_mask,
                     precentered=precentered,
-                    precomputed_pos_bias=precomputed_pos_bias, mesh=mesh)
+                    precomputed_pos_bias=precomputed_pos_bias, mesh=mesh,
+                    sequence_parallel=sequence_parallel,
+                    pp_microbatches=pp_microbatches)
     if arch.freeze_encoder:
         hidden = jax.lax.stop_gradient(hidden)
 

@@ -453,13 +453,25 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                  deterministic: bool = True,
                  compute_dtype=jnp.float32,
                  precomputed_pos_bias: Optional[jnp.ndarray] = None,
-                 mesh=None) -> jnp.ndarray:
+                 mesh=None, sequence_parallel: bool = False,
+                 pp_microbatches: int = 0) -> jnp.ndarray:
     """Full WavLM encoder: raw (normalized) audio [B, S] → [B, T, H].
 
     Equivalent to HF ``WavLMModel.forward(...).last_hidden_state`` with
     SpecAugment off (the reference's configuration, model.py:76-80).
     ``mask`` [B, T_frames] / ``sample_mask`` [B, S] enable exact-length
     numerics on bucketed inputs.
+
+    ``sequence_parallel``: with a >1 ``model`` mesh axis, constrain the
+    inter-layer activations to shard T over ``model`` (Megatron-SP;
+    parallel/sp.py) — GSPMD inserts the attention all-gathers.
+
+    Pipeline parallelism: when ``params["layers"]`` is a STACKED pytree
+    (parallel/pp.py ``stack_layers`` + ``place_stacked``) the transformer
+    stack runs the GPipe schedule over the mesh's ``stage`` axis instead
+    of the Python layer loop — deterministic forwards only.
+    ``pp_microbatches``: GPipe microbatch count (0 = one row-group per
+    data shard, the minimum-bubble default).
     """
     rngs = RngStream(rng) if rng is not None else None
     audio = audio.astype(compute_dtype)
@@ -492,9 +504,41 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
         pos_bias = position_bias(params, arch, x.shape[1])    # [H, T, T]
     layer_fn = (encoder_layer_stable_ln if arch.do_stable_layer_norm
                 else encoder_layer)
-    for layer in params["layers"]:
-        x = layer_fn(layer, arch, x, pos_bias, mask=mask, rngs=rngs,
-                     deterministic=deterministic, mesh=mesh)
+    if isinstance(params["layers"], dict):
+        # Stacked layers → GPipe pipeline over the mesh's 'stage' axis.
+        from ..parallel import pp
+        if mesh is None or "stage" not in mesh.shape:
+            raise ValueError("stacked encoder layers require a "
+                             "('data','stage') mesh (parallel/pp.py)")
+        if not deterministic:
+            raise NotImplementedError(
+                "pipeline-parallel encoder supports deterministic "
+                "forwards only (per-layer dropout RNG threading under "
+                "the tick scan is not implemented)")
+        m = int(pp_microbatches) or x.shape[0] // dict(mesh.shape)["data"]
+
+        def pp_layer(lp, h, rows, shr):
+            (pb,) = shr
+            row_mask = rows[0] if rows else None
+            # mesh=None: inside the PP shard_map the devices are already
+            # manual, so kernel entry points run per-shard directly.
+            return layer_fn(lp, arch, h, pb, mask=row_mask, rngs=None,
+                            deterministic=True, mesh=None)
+
+        x = pp.gpipe_apply(pp_layer, params["layers"], x, mesh,
+                           microbatches=m,
+                           per_row=(mask,) if mask is not None else (),
+                           shared=(pos_bias,))
+    else:
+        from ..parallel.sp import shard_time, sp_active
+        sp = sp_active(mesh, sequence_parallel)
+        if sp:
+            x = shard_time(x, mesh)
+        for layer in params["layers"]:
+            x = layer_fn(layer, arch, x, pos_bias, mask=mask, rngs=rngs,
+                         deterministic=deterministic, mesh=mesh)
+            if sp:
+                x = shard_time(x, mesh)
 
     if arch.do_stable_layer_norm:
         x = layer_norm(params["encoder_ln"], x, arch.layer_norm_eps)

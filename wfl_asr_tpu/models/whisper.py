@@ -143,8 +143,12 @@ def init_whisper_encoder(rng: jax.Array, arch: WhisperArch) -> dict:
 def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
                    rng: Optional[jax.Array] = None,
                    deterministic: bool = True,
-                   compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
-    """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D]."""
+                   compute_dtype=jnp.float32, mesh=None,
+                   sequence_parallel: bool = False) -> jnp.ndarray:
+    """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D].
+
+    ``sequence_parallel``: shard T over the ``model`` mesh axis between
+    layers (Megatron-SP, parallel/sp.py)."""
     rngs = RngStream(rng) if rng is not None else None
     x = input_features.astype(compute_dtype)
 
@@ -155,6 +159,41 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
     if not deterministic:
         x = dropout(rngs.pop(), x, arch.dropout, False)
 
+    if isinstance(params["layers"], dict):
+        # Stacked layers → GPipe pipeline over the mesh's 'stage' axis
+        # (parallel/pp.py), same dispatch contract as wavlm_encode.
+        from ..parallel import pp
+        if mesh is None or "stage" not in mesh.shape:
+            raise ValueError("stacked encoder layers require a "
+                             "('data','stage') mesh (parallel/pp.py)")
+        if not deterministic:
+            raise NotImplementedError(
+                "pipeline-parallel encoder supports deterministic "
+                "forwards only")
+        m = x.shape[0] // dict(mesh.shape)["data"]
+        x = pp.gpipe_apply(
+            lambda lp, h, rows, shr: encoder_layer(
+                lp, arch, h, rngs=None, deterministic=True, mesh=None),
+            params["layers"], x, mesh, microbatches=m)
+        return layer_norm(params["ln_post"], x)
+
+    from ..parallel.sp import shard_time, sp_active
+    sp = sp_active(mesh, sequence_parallel)
+    if sp:
+        x = shard_time(x, mesh)
+    for layer in params["layers"]:
+        x = encoder_layer(layer, arch, x, rngs=rngs,
+                          deterministic=deterministic, mesh=mesh)
+        if sp:
+            x = shard_time(x, mesh)
+
+    return layer_norm(params["ln_post"], x)
+
+
+def encoder_layer(layer, arch: WhisperArch, x: jnp.ndarray,
+                  rngs=None, deterministic: bool = True,
+                  mesh=None) -> jnp.ndarray:
+    """One pre-LN Whisper encoder layer (self-attention + FFN)."""
     b, t, D = x.shape
     heads = arch.num_heads
     d = D // heads
@@ -162,30 +201,27 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
     def split(h):
         return h.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
 
-    for layer in params["layers"]:
-        residual = x
-        h = layer_norm(layer["attn_ln"], x)
-        q, k, v = (split(linear(layer[n], h)) for n in ("q", "k", "v"))
-        if arch.use_flash_attention:
-            # differentiable Pallas kernel — used in training and inference
-            from ..ops.pallas.flash_attention_bwd import \
-                flash_attention_trainable
-            attn = flash_attention_trainable(q, k, v, mesh=mesh)
-        else:
-            attn = attention_core(q, k, v)
-        attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))
-        if not deterministic:
-            attn = dropout(rngs.pop(), attn, arch.dropout, False)
-        x = residual + attn
+    residual = x
+    h = layer_norm(layer["attn_ln"], x)
+    q, k, v = (split(linear(layer[n], h)) for n in ("q", "k", "v"))
+    if arch.use_flash_attention:
+        # differentiable Pallas kernel — used in training and inference
+        from ..ops.pallas.flash_attention_bwd import \
+            flash_attention_trainable
+        attn = flash_attention_trainable(q, k, v, mesh=mesh)
+    else:
+        attn = attention_core(q, k, v)
+    attn = linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, D))
+    if not deterministic:
+        attn = dropout(rngs.pop(), attn, arch.dropout, False)
+    x = residual + attn
 
-        residual = x
-        h = layer_norm(layer["final_ln"], x)
-        h = gelu(linear(layer["ff_in"], h))
-        if not deterministic:
-            h = dropout(rngs.pop(), h, arch.activation_dropout, False)
-        h = linear(layer["ff_out"], h)
-        if not deterministic:
-            h = dropout(rngs.pop(), h, arch.dropout, False)
-        x = residual + h
-
-    return layer_norm(params["ln_post"], x)
+    residual = x
+    h = layer_norm(layer["final_ln"], x)
+    h = gelu(linear(layer["ff_in"], h))
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.activation_dropout, False)
+    h = linear(layer["ff_out"], h)
+    if not deterministic:
+        h = dropout(rngs.pop(), h, arch.dropout, False)
+    return residual + h

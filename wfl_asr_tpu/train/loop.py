@@ -154,7 +154,8 @@ def encoder_freeze_mask(params):
 def make_train_step(arch: TaggerArch, label_smoothing: float,
                     subframe_weight: float, tx,
                     compute_dtype=jnp.float32,
-                    seg_diff_weight: float = 0.0, mesh=None):
+                    seg_diff_weight: float = 0.0, mesh=None,
+                    sequence_parallel: bool = False):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -164,7 +165,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
             logits, offsets, new_state = apply_tagger(
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
-                compute_dtype=compute_dtype, mesh=mesh)
+                compute_dtype=compute_dtype, mesh=mesh,
+                sequence_parallel=sequence_parallel)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -188,7 +190,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
 
 def make_grad_step(arch: TaggerArch, label_smoothing: float,
                    subframe_weight: float, compute_dtype=jnp.float32,
-                   seg_diff_weight: float = 0.0, mesh=None):
+                   seg_diff_weight: float = 0.0, mesh=None,
+                   sequence_parallel: bool = False):
     """Micro-batch gradient computation for gradient accumulation
     (training.grad_accumulation > 1): same loss as make_train_step but
     returns grads instead of applying them. Params are NOT donated (reused
@@ -202,7 +205,8 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
             logits, offsets, new_state = apply_tagger(
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
-                compute_dtype=compute_dtype, mesh=mesh)
+                compute_dtype=compute_dtype, mesh=mesh,
+                sequence_parallel=sequence_parallel)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -243,13 +247,15 @@ def _accumulate_grads(grad_sum, grads):
         lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
 
 
-def make_eval_step(arch: TaggerArch, label_smoothing: float, mesh=None):
+def make_eval_step(arch: TaggerArch, label_smoothing: float, mesh=None,
+                   sequence_parallel: bool = False):
     @functools.partial(jax.jit, static_argnames=("max_label_len",))
     def eval_step(params, model_state, audio, labels, lang_ids,
                   max_label_len: int):
         logits, offsets, _ = apply_tagger(
             params, model_state, arch, audio, lang_ids,
-            max_label_len=max_label_len, train=False, mesh=mesh)
+            max_label_len=max_label_len, train=False, mesh=mesh,
+            sequence_parallel=sequence_parallel)
         ce = cross_entropy(logits, labels, label_smoothing)
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return ce, pred_ids, offsets
@@ -530,6 +536,16 @@ def train(config_path: str = "config.yaml",
     n_devices = len(jax.devices())
     model_parallel = int(
         cfg.raw.get("training", {}).get("model_parallel", 1))
+    # training.sequence_parallel: shard encoder activations' time axis over
+    # the 'model' mesh axis between layers (Megatron-SP, parallel/sp.py).
+    # Only meaningful with model_parallel > 1; no-op otherwise.
+    sequence_parallel = bool(
+        cfg.raw.get("training", {}).get("sequence_parallel", False))
+    if sequence_parallel and model_parallel <= 1:
+        print("[WARN] training.sequence_parallel ignored: it shards the "
+              "time axis over the 'model' mesh axis, which requires "
+              "training.model_parallel > 1")
+        sequence_parallel = False
     use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
         cfg.raw.get("training", {}).get("data_parallel", True)))
     mesh = None
@@ -614,8 +630,10 @@ def train(config_path: str = "config.yaml",
     train_step = make_train_step(
         arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
         compute_dtype=compute_dtype,
-        seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
-    eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh)
+        seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
+        sequence_parallel=sequence_parallel)
+    eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh,
+                               sequence_parallel=sequence_parallel)
     # Multi-host: every process evaluates the FULL val set with local
     # compute on the (replicated → locally addressable) params. Identical
     # inputs → identical metrics on every host, so schedulers that consume
@@ -633,7 +651,8 @@ def train(config_path: str = "config.yaml",
         grad_step = make_grad_step(
             arch, cfg.label_smoothing, cfg.subframe_loss_weight,
             compute_dtype=compute_dtype,
-            seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh)
+            seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
+            sequence_parallel=sequence_parallel)
         apply_step = make_accum_apply(tx)
         print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
               f"per update (effective batch "
