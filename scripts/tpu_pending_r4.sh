@@ -42,4 +42,9 @@ run env WFL_TRAIN_DTYPE=bf16 python scripts/train_bench.py 8 30
 #    can exceed 10 min — LAST so everything else lands first).
 run env WFL_TRAIN_DTYPE=bf16 WFL_TRAIN_PRESET=large python scripts/train_bench.py 4 30
 
+# 8. Gradient-checkpointing A/B (training.remat): step-time cost at base,
+#    and the batch headroom it buys at wavlm-large (B=8 OOMs without it?).
+run env WFL_TRAIN_DTYPE=bf16 WFL_TRAIN_REMAT=1 python scripts/train_bench.py 8 30
+run env WFL_TRAIN_DTYPE=bf16 WFL_TRAIN_PRESET=large WFL_TRAIN_REMAT=1 python scripts/train_bench.py 8 30
+
 echo "===== [$(stamp)] ALL DONE"

@@ -56,8 +56,12 @@ opt_state = jax.device_put(opt_state)
 # WFL_TRAIN_DTYPE=bf16 mirrors the config's bf16 training option.
 dtype = (jnp.bfloat16 if os.environ.get("WFL_TRAIN_DTYPE") == "bf16"
          else jnp.float32)
-step = make_train_step(arch, 0.1, 3.0, tx, compute_dtype=dtype)
-print(f"compute dtype: {dtype.__name__}", flush=True)
+# WFL_TRAIN_REMAT=1 mirrors training.remat (encoder gradient checkpointing):
+# measures the FLOPs-for-HBM trade — step-time cost vs the batch-size /
+# model-size headroom it buys.
+remat = os.environ.get("WFL_TRAIN_REMAT") == "1"
+step = make_train_step(arch, 0.1, 3.0, tx, compute_dtype=dtype, remat=remat)
+print(f"compute dtype: {dtype.__name__}  remat: {remat}", flush=True)
 rng = np.random.RandomState(0)
 batch = dict(
     audio=jnp.asarray((rng.randn(B, S) * 0.1).astype(np.float32)),

@@ -253,6 +253,28 @@ class RngStream:
         return out
 
 
+class KeyListStream:
+    """RngStream-compatible view over pre-split keys ``[K, 2]``.
+
+    The remat'd per-layer functions (wavlm/whisper ``remat=True``) take
+    their dropout keys as an explicit array argument — pre-popped from the
+    main RngStream in the exact order the inline loop would pop them, so
+    remat on/off is bit-identical — and pop rows by static index here.
+    Over-popping raises (the pops-per-layer count is a hard contract)."""
+
+    def __init__(self, keys):
+        self._keys = keys
+        self._i = 0
+
+    def pop(self):
+        if self._i >= self._keys.shape[0]:
+            raise ValueError(
+                f"KeyListStream exhausted after {self._keys.shape[0]} pops")
+        out = self._keys[self._i]
+        self._i += 1
+        return out
+
+
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None,
                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:

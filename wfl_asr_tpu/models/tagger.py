@@ -222,7 +222,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
            precentered: bool = False,
            precomputed_pos_bias=None, mesh=None,
            sequence_parallel: bool = False,
-           pp_microbatches: int = 0) -> jnp.ndarray:
+           pp_microbatches: int = 0,
+           remat: bool = False) -> jnp.ndarray:
     """Front-end + encoder → hidden states [B, T_enc, H], all on device.
 
     ``sample_mask``/``frame_mask``/``precentered`` support bucket-padded
@@ -234,7 +235,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
         return whisper_encode(params["encoder"], arch.whisper, feats,
                               rng=rng, deterministic=deterministic,
                               compute_dtype=compute_dtype, mesh=mesh,
-                              sequence_parallel=sequence_parallel)
+                              sequence_parallel=sequence_parallel,
+                              remat=remat)
     if arch.encoder_type == "wavlm":
         if sample_mask is not None:
             normed = wav2vec2_normalize_masked(audio, sample_mask)
@@ -247,7 +249,8 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
                             precomputed_pos_bias=precomputed_pos_bias,
                             mesh=mesh,
                             sequence_parallel=sequence_parallel,
-                            pp_microbatches=pp_microbatches)
+                            pp_microbatches=pp_microbatches,
+                            remat=remat)
     # encoder_type "none": mel features are the hidden states (model.py:149-150)
     hop = int(arch.frame_duration * arch.sample_rate)
     return mel_spectrogram(audio, arch.sample_rate, 400, hop, arch.n_mels,
@@ -274,7 +277,8 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                  precentered: bool = False,
                  precomputed_pos_bias=None, mesh=None,
                  sequence_parallel: bool = False,
-                 pp_microbatches: int = 0):
+                 pp_microbatches: int = 0,
+                 remat: bool = False):
     """Forward pass. Returns (logits [B,T,n_tags], offsets [B,T,2], new_state).
 
     ``mesh``: a ('data','model') jax.sharding.Mesh — the Pallas kernels
@@ -306,7 +310,7 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                     precentered=precentered,
                     precomputed_pos_bias=precomputed_pos_bias, mesh=mesh,
                     sequence_parallel=sequence_parallel,
-                    pp_microbatches=pp_microbatches)
+                    pp_microbatches=pp_microbatches, remat=remat)
     if arch.freeze_encoder:
         hidden = jax.lax.stop_gradient(hidden)
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (RngStream, attention_core, channel_stats, conv1d,
+from .layers import (KeyListStream, RngStream, attention_core, channel_stats, conv1d,
                      dropout, gelu, group_norm, init_conv1d, init_layer_norm,
                      init_linear, layer_norm, linear)
 
@@ -454,7 +454,8 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                  compute_dtype=jnp.float32,
                  precomputed_pos_bias: Optional[jnp.ndarray] = None,
                  mesh=None, sequence_parallel: bool = False,
-                 pp_microbatches: int = 0) -> jnp.ndarray:
+                 pp_microbatches: int = 0,
+                 remat: bool = False) -> jnp.ndarray:
     """Full WavLM encoder: raw (normalized) audio [B, S] → [B, T, H].
 
     Equivalent to HF ``WavLMModel.forward(...).last_hidden_state`` with
@@ -472,6 +473,14 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
     of the Python layer loop — deterministic forwards only.
     ``pp_microbatches``: GPipe microbatch count (0 = one row-group per
     data shard, the minimum-bubble default).
+
+    ``remat``: gradient checkpointing — wrap each encoder layer in
+    ``jax.checkpoint`` so the backward pass rematerializes the layer's
+    internals instead of keeping them resident (HBM ∝ layers → ∝ 1; the
+    standard TPU memory/FLOPs trade for deep-encoder training). Dropout
+    keys are pre-popped per layer in the inline loop's order, so remat
+    on/off is bit-identical for the same seed. Forward-only callers gain
+    nothing (XLA already frees forward activations).
     """
     rngs = RngStream(rng) if rng is not None else None
     audio = audio.astype(compute_dtype)
@@ -534,11 +543,30 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
         sp = sp_active(mesh, sequence_parallel)
         if sp:
             x = shard_time(x, mesh)
-        for layer in params["layers"]:
-            x = layer_fn(layer, arch, x, pos_bias, mask=mask, rngs=rngs,
-                         deterministic=deterministic, mesh=mesh)
-            if sp:
-                x = shard_time(x, mesh)
+        if remat:
+            # Each layer flavor pops exactly 3 dropout keys (hidden,
+            # activation, hidden). Keys enter as an explicit argument so
+            # they are NOT rematerialized state; popping them here keeps
+            # the global split order identical to the inline loop.
+            def _layer_remat(lp, h, lkeys):
+                r = KeyListStream(lkeys) if lkeys is not None else None
+                return layer_fn(lp, arch, h, pos_bias, mask=mask, rngs=r,
+                                deterministic=deterministic, mesh=mesh)
+
+            _layer_remat = jax.checkpoint(_layer_remat)
+            for layer in params["layers"]:
+                lkeys = (jnp.stack([rngs.pop() for _ in range(3)])
+                         if not deterministic else None)
+                x = _layer_remat(layer, x, lkeys)
+                if sp:
+                    x = shard_time(x, mesh)
+        else:
+            for layer in params["layers"]:
+                x = layer_fn(layer, arch, x, pos_bias, mask=mask,
+                             rngs=rngs, deterministic=deterministic,
+                             mesh=mesh)
+                if sp:
+                    x = shard_time(x, mesh)
 
     if arch.do_stable_layer_norm:
         x = layer_norm(params["encoder_ln"], x, arch.layer_norm_eps)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import (RngStream, attention_core, conv1d, dropout, gelu,
+from .layers import (KeyListStream, RngStream, attention_core, conv1d, dropout, gelu,
                      init_conv1d, init_layer_norm, init_linear, layer_norm,
                      linear)
 
@@ -144,11 +144,16 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
                    rng: Optional[jax.Array] = None,
                    deterministic: bool = True,
                    compute_dtype=jnp.float32, mesh=None,
-                   sequence_parallel: bool = False) -> jnp.ndarray:
+                   sequence_parallel: bool = False,
+                   remat: bool = False) -> jnp.ndarray:
     """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D].
 
     ``sequence_parallel``: shard T over the ``model`` mesh axis between
-    layers (Megatron-SP, parallel/sp.py)."""
+    layers (Megatron-SP, parallel/sp.py).
+
+    ``remat``: gradient checkpointing — each layer under ``jax.checkpoint``
+    (same contract as wavlm_encode: per-layer keys pre-popped in the
+    inline loop's order, so remat on/off is bit-identical)."""
     rngs = RngStream(rng) if rng is not None else None
     x = input_features.astype(compute_dtype)
 
@@ -181,11 +186,26 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
     sp = sp_active(mesh, sequence_parallel)
     if sp:
         x = shard_time(x, mesh)
-    for layer in params["layers"]:
-        x = encoder_layer(layer, arch, x, rngs=rngs,
-                          deterministic=deterministic, mesh=mesh)
-        if sp:
-            x = shard_time(x, mesh)
+    if remat:
+        # Each layer pops exactly 3 dropout keys (attn, activation, ffn).
+        def _layer_remat(lp, h, lkeys):
+            r = KeyListStream(lkeys) if lkeys is not None else None
+            return encoder_layer(lp, arch, h, rngs=r,
+                                 deterministic=deterministic, mesh=mesh)
+
+        _layer_remat = jax.checkpoint(_layer_remat)
+        for layer in params["layers"]:
+            lkeys = (jnp.stack([rngs.pop() for _ in range(3)])
+                     if not deterministic else None)
+            x = _layer_remat(layer, x, lkeys)
+            if sp:
+                x = shard_time(x, mesh)
+    else:
+        for layer in params["layers"]:
+            x = encoder_layer(layer, arch, x, rngs=rngs,
+                              deterministic=deterministic, mesh=mesh)
+            if sp:
+                x = shard_time(x, mesh)
 
     return layer_norm(params["ln_post"], x)
 

@@ -155,7 +155,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                     subframe_weight: float, tx,
                     compute_dtype=jnp.float32,
                     seg_diff_weight: float = 0.0, mesh=None,
-                    sequence_parallel: bool = False):
+                    sequence_parallel: bool = False,
+                    remat: bool = False):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -166,7 +167,7 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
                 compute_dtype=compute_dtype, mesh=mesh,
-                sequence_parallel=sequence_parallel)
+                sequence_parallel=sequence_parallel, remat=remat)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -191,7 +192,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
 def make_grad_step(arch: TaggerArch, label_smoothing: float,
                    subframe_weight: float, compute_dtype=jnp.float32,
                    seg_diff_weight: float = 0.0, mesh=None,
-                   sequence_parallel: bool = False):
+                   sequence_parallel: bool = False,
+                   remat: bool = False):
     """Micro-batch gradient computation for gradient accumulation
     (training.grad_accumulation > 1): same loss as make_train_step but
     returns grads instead of applying them. Params are NOT donated (reused
@@ -206,7 +208,7 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
                 compute_dtype=compute_dtype, mesh=mesh,
-                sequence_parallel=sequence_parallel)
+                sequence_parallel=sequence_parallel, remat=remat)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -546,6 +548,16 @@ def train(config_path: str = "config.yaml",
               "time axis over the 'model' mesh axis, which requires "
               "training.model_parallel > 1")
         sequence_parallel = False
+    # training.remat (alias: gradient_checkpointing): wrap every encoder
+    # transformer layer in jax.checkpoint — backward-pass activation
+    # residency drops from O(layers) to O(1) layers at ~1/3 extra encoder
+    # FLOPs, the standard deep-encoder memory lever on TPU. Bit-identical
+    # numerics (tests/test_remat.py).
+    tsec = cfg.raw.get("training", {})
+    remat = bool(tsec.get("remat", tsec.get("gradient_checkpointing",
+                                            False)))
+    if remat:
+        print("[INFO] Gradient checkpointing (remat) on encoder layers")
     use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
         cfg.raw.get("training", {}).get("data_parallel", True)))
     mesh = None
@@ -631,7 +643,7 @@ def train(config_path: str = "config.yaml",
         arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
         compute_dtype=compute_dtype,
         seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
-        sequence_parallel=sequence_parallel)
+        sequence_parallel=sequence_parallel, remat=remat)
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh,
                                sequence_parallel=sequence_parallel)
     # Multi-host: every process evaluates the FULL val set with local
@@ -652,7 +664,7 @@ def train(config_path: str = "config.yaml",
             arch, cfg.label_smoothing, cfg.subframe_loss_weight,
             compute_dtype=compute_dtype,
             seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
-            sequence_parallel=sequence_parallel)
+            sequence_parallel=sequence_parallel, remat=remat)
         apply_step = make_accum_apply(tx)
         print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
               f"per update (effective batch "
