@@ -176,9 +176,6 @@ def test_wavlm_pipelined_rejects_bad_usage():
 
     with pytest.raises(ValueError, match="stage"):
         wavlm_encode(pp_params, arch, audio)      # no mesh
-    with pytest.raises(NotImplementedError):
-        wavlm_encode(pp_params, arch, audio, mesh=mesh,
-                     rng=jax.random.PRNGKey(0), deterministic=False)
 
 
 def test_whisper_encoder_pipelined_matches_sequential():
@@ -255,3 +252,235 @@ def test_session_pipeline_parallel_matches_plain(tmp_path):
     np.testing.assert_allclose(np.asarray(out_offsets),
                                np.asarray(ref_offsets),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gpipe_grads_match_sequential():
+    """The GPipe schedule is differentiable: grads of a scalar loss wrt the
+    stacked layer weights and the input equal the sequential loop's
+    (garbage warmup/drain ticks must receive zero cotangents)."""
+    rng = np.random.RandomState(7)
+    stacked = _stacked_mlp(rng, 4, 8)
+    x = jnp.asarray(rng.randn(8, 6, 8).astype(np.float32))
+
+    def seq_loss(s, a):
+        return jnp.sum(_seq_apply(s, a) ** 2)
+
+    mesh = pp.make_pp_mesh(4)
+    placed = pp.place_stacked(stacked, mesh)
+
+    def pp_loss(s, a):
+        return jnp.sum(pp.gpipe_apply(_mlp_layer, s, a, mesh,
+                                      microbatches=4) ** 2)
+
+    g_ref = jax.jit(jax.grad(seq_loss, argnums=(0, 1)))(stacked, x)
+    g_pp = jax.jit(jax.grad(pp_loss, argnums=(0, 1)))(placed, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gpipe_rng_threading_dropout():
+    """rng= enables stochastic layers: keys are unique per
+    (layer, microbatch), deterministic given the base key, and the
+    result differs from the rng-free path."""
+    rng = np.random.RandomState(8)
+    stacked = _stacked_mlp(rng, 4, 8)
+    x = jnp.asarray(rng.randn(8, 6, 8).astype(np.float32))
+
+    def layer(lp, h, rows, shr, key=None):
+        h = jnp.tanh(h @ lp["w"] + lp["b"])
+        if key is not None:
+            keep = jax.random.bernoulli(key, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
+        return h
+
+    mesh = pp.make_pp_mesh(4)
+    placed = pp.place_stacked(stacked, mesh)
+    key = jax.random.PRNGKey(3)
+
+    run = jax.jit(lambda s, a, k: pp.gpipe_apply(
+        layer, s, a, mesh, microbatches=4, rng=k))
+    out1 = run(placed, x, key)
+    out2 = run(placed, x, key)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    out3 = run(placed, x, jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+    det = jax.jit(lambda s, a: pp.gpipe_apply(
+        lambda lp, h, rows, shr: layer(lp, h, rows, shr),
+        s, a, mesh, microbatches=4))(placed, x)
+    assert not np.allclose(np.asarray(out1), np.asarray(det))
+
+
+def test_wavlm_pipelined_train_mode_runs():
+    """Train-mode PP forward (dropout active under the tick scan):
+    deterministic given the key, differs across keys, grads finite."""
+    import dataclasses
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+
+    arch = dataclasses.replace(graft._flagship_arch(tiny=True).wavlm,
+                               num_layers=4, hidden_dropout=0.2)
+    params = init_wavlm(jax.random.PRNGKey(0), arch)
+    mesh = pp.make_pp_mesh(4)
+    pp_params = dict(params)
+    pp_params["layers"] = pp.place_stacked(
+        pp.stack_layers(params["layers"]), mesh)
+    rng = np.random.RandomState(9)
+    audio = jnp.asarray((rng.randn(8, 4000) * 0.3).astype(np.float32))
+
+    run = jax.jit(lambda p, a, k: wavlm_encode(
+        p, arch, a, rng=k, deterministic=False, mesh=mesh))
+    out1 = run(pp_params, audio, jax.random.PRNGKey(1))
+    out2 = run(pp_params, audio, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = run(pp_params, audio, jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+    def loss(p):
+        h = wavlm_encode(p, arch, audio, rng=jax.random.PRNGKey(1),
+                         deterministic=False, mesh=mesh)
+        return jnp.sum(h * h)
+
+    g = jax.jit(jax.grad(loss))(pp_params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_pp_train_step_matches_unsharded():
+    """Full jitted train step on the ('data','stage') mesh with stacked
+    encoder layers == the single-device step (dropouts zeroed so the PP
+    key-derivation difference is inert)."""
+    import dataclasses
+    import optax
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.tagger import init_tagger
+    from wfl_asr_tpu.train.loop import make_train_step
+    from wfl_asr_tpu.train.prodigy import prodigy
+    from wfl_asr_tpu.parallel import shard_batch
+
+    arch = graft._flagship_arch(tiny=True)
+    arch = dataclasses.replace(
+        arch, conformer_dropout=0.0,
+        wavlm=dataclasses.replace(arch.wavlm, num_layers=4,
+                                  hidden_dropout=0.0))
+    params, model_state = init_tagger(jax.random.PRNGKey(0), arch)
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: prodigy(learning_rate=learning_rate))(
+        learning_rate=1.0)
+
+    rng = np.random.RandomState(10)
+    b, s, t = 8, 4000, 12
+    host = {
+        "audio": (rng.randn(b, s) * 0.1).astype(np.float32),
+        "labels": rng.randint(0, arch.num_labels,
+                              size=(b, t)).astype(np.int64),
+        "lang_ids": rng.randint(0, 2, size=b).astype(np.int32),
+        "off_frames": rng.randint(0, t, size=(b, 8)).astype(np.int32),
+        "off_channels": rng.randint(0, 2, size=(b, 8)).astype(np.int32),
+        "off_fracs": rng.rand(b, 8).astype(np.float32),
+        "off_valid": np.ones((b, 8), bool),
+    }
+    step_rng = jax.random.PRNGKey(21)
+    copy = lambda tree: jax.tree_util.tree_map(np.array, tree)
+
+    def run(mesh):
+        p = copy(params)
+        ms = copy(model_state)
+        if mesh is not None:
+            p = dict(p)
+            enc = dict(p["encoder"])
+            enc["layers"] = pp.stack_layers(enc["layers"])
+            p["encoder"] = enc
+            os_ = tx.init(p)
+            p = pp.shard_params_pp(p, mesh)
+            os_ = jax.tree_util.tree_map(jax.device_put, os_,
+                                         pp.pp_shardings(os_, mesh))
+            from wfl_asr_tpu.parallel import replicate
+            ms = replicate(ms, mesh)
+            arrays = shard_batch({k: jnp.asarray(v)
+                                  for k, v in host.items()}, mesh)
+        else:
+            os_ = tx.init(p)
+            arrays = {k: jnp.asarray(v) for k, v in host.items()}
+        step = make_train_step(arch, 0.1, 3.0, tx, mesh=mesh)
+        out = step(p, ms, os_, step_rng,
+                   arrays["audio"], arrays["labels"], arrays["lang_ids"],
+                   arrays["off_frames"], arrays["off_channels"],
+                   arrays["off_fracs"], arrays["off_valid"],
+                   max_label_len=t)
+        _, _, _, metrics, pred_ids, _ = out
+        return ({k: float(v) for k, v in metrics.items()},
+                np.asarray(pred_ids))
+
+    m_ref, ids_ref = run(None)
+    mesh = pp.make_pp_mesh(2)                    # data=4, stage=2
+    m_pp, ids_pp = run(mesh)
+    for k in m_ref:
+        np.testing.assert_allclose(m_pp[k], m_ref[k], rtol=2e-4,
+                                   err_msg=k)
+    np.testing.assert_array_equal(ids_pp, ids_ref)
+
+
+def test_train_driver_pipeline_parallel(tmp_path):
+    """training.pipeline_parallel=2 runs the full driver end to end on the
+    virtual 8-device mesh with a tiny custom WavLM — stacked-layer
+    placement, sharded optimizer state, canonical (unstacked) checkpoint
+    saves, and a resume."""
+    import os
+    import random as pyrandom
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+    from wfl_asr_tpu.checkpoint import load_model_checkpoint
+    from wfl_asr_tpu.config import Config
+    from wfl_asr_tpu.models.tagger import TaggerArch
+
+    rng = pyrandom.Random(31)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=6)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "wavlm", "wavlm_model": "tiny-custom",
+        "num_conformer_layers": 1, "lang_emb_dim": 8,
+        "enable_dilated_conv": False,
+        "encoder_arch_overrides": {
+            "hidden_size": 32, "num_layers": 4, "num_heads": 2,
+            "intermediate_size": 64, "conv_dim": [16, 16],
+            "conv_kernel": [10, 8], "conv_stride": [5, 8],
+            "num_conv_pos_embeddings": 16,
+            "num_conv_pos_embedding_groups": 4,
+            "num_buckets": 20, "max_distance": 50,
+        },
+    })
+    config["training"].update({
+        "batch_size": 4, "max_steps": 2, "val_check_interval": 2,
+        "seed": 0, "data_parallel": True, "pipeline_parallel": 2,
+        "optimizer": "Prodigy", "learning_rate": 1.0,
+        "scheduler": "ConstantLR",
+    })
+    run_preprocess(data_dir, config)
+    cfg_path = os.path.join(save_dir, "config.yaml")
+    train(cfg_path)
+    last = os.path.join(save_dir, "last_model.pt")
+    assert os.path.exists(last)
+
+    # checkpoint is canonical: loads as an UNSTACKED layer list
+    cfg = Config.load(cfg_path)
+    n_labels = len(open(os.path.join(save_dir,
+                                     "phonemes.txt")).read().split())
+    arch = TaggerArch.from_config(cfg, n_labels)
+    p, _ = load_model_checkpoint(last, arch)
+    assert isinstance(p["encoder"]["layers"], list)
+    assert len(p["encoder"]["layers"]) == 4
+
+    # resume: the sidecar restores into the STACKED optimizer template
+    config["training"]["max_steps"] = 3
+    import yaml
+    yaml.safe_dump(config, open(cfg_path, "w"))
+    train(cfg_path)

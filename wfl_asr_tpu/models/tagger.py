@@ -36,14 +36,24 @@ from .whisper import (WhisperArch, init_whisper_encoder, whisper_arch_from_name,
 
 # Known WavLM checkpoint families → architecture presets (no network access).
 WAVLM_PRESETS = {
-    "base": WavLMArch(),
-    "base-plus": WavLMArch(),
+    # Training-regularizer fields mirror the hub config.json values the
+    # reference inherits via from_pretrained (model.py:76-81): the
+    # microsoft/wavlm-* checkpoints ship feat_proj_dropout/attention_dropout
+    # 0.1 and LayerDrop (base family 0.05, large 0.1). attention_dropout is
+    # carried but prob-level dropout is not applied — see the WavLMArch
+    # field note. All inactive at inference (deterministic).
+    "base": WavLMArch(feat_proj_dropout=0.1, attention_dropout=0.1,
+                      layerdrop=0.05),
+    "base-plus": WavLMArch(feat_proj_dropout=0.1, attention_dropout=0.1,
+                           layerdrop=0.05),
     # wavlm-large follows the wav2vec2-large conv recipe: per-layer
     # LayerNorm AND biased convs (microsoft/wavlm-large config.json sets
     # conv_bias: true, unlike the WavLMConfig default).
     "large": WavLMArch(hidden_size=1024, num_layers=24, num_heads=16,
                        intermediate_size=4096, feat_extract_norm="layer",
-                       do_stable_layer_norm=True, conv_bias=True),
+                       do_stable_layer_norm=True, conv_bias=True,
+                       feat_proj_dropout=0.1, attention_dropout=0.1,
+                       layerdrop=0.1),
 }
 
 

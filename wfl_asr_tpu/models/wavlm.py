@@ -68,8 +68,18 @@ class WavLMArch:
     layer_norm_eps: float = 1e-5
     hidden_dropout: float = 0.1
     activation_dropout: float = 0.0
+    # NOTE: attention-PROB dropout is not applied in this implementation
+    # (the Pallas flash path cannot drop inside the fused softmax); the
+    # post-projection hidden_dropout is the equivalent regularizer — the
+    # same policy the conformer heads document (heads.py). The field is
+    # kept so HF configs round-trip.
     attention_dropout: float = 0.0
     feat_proj_dropout: float = 0.0
+    # LayerDrop (Fan et al. 2019): during training each transformer layer
+    # is skipped with this probability (whole-batch decision, matching HF
+    # WavLMEncoder). Static graphs compute the layer and where-select, so
+    # it regularizes identically but does not save FLOPs.
+    layerdrop: float = 0.0
 
     @classmethod
     def from_hf_config(cls, hf) -> "WavLMArch":
@@ -89,6 +99,7 @@ class WavLMArch:
             activation_dropout=hf.activation_dropout,
             attention_dropout=hf.attention_dropout,
             feat_proj_dropout=hf.feat_proj_dropout,
+            layerdrop=hf.layerdrop,
         )
 
     def feature_lengths(self, num_samples: int) -> int:
@@ -470,7 +481,8 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
     Pipeline parallelism: when ``params["layers"]`` is a STACKED pytree
     (parallel/pp.py ``stack_layers`` + ``place_stacked``) the transformer
     stack runs the GPipe schedule over the mesh's ``stage`` axis instead
-    of the Python layer loop — deterministic forwards only.
+    of the Python layer loop; training works too (per-(layer, microbatch)
+    dropout keys folded into the tick scan, schedule differentiable).
     ``pp_microbatches``: GPipe microbatch count (0 = one row-group per
     data shard, the minimum-bubble default).
 
@@ -519,30 +531,45 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
         if mesh is None or "stage" not in mesh.shape:
             raise ValueError("stacked encoder layers require a "
                              "('data','stage') mesh (parallel/pp.py)")
-        if not deterministic:
-            raise NotImplementedError(
-                "pipeline-parallel encoder supports deterministic "
-                "forwards only (per-layer dropout RNG threading under "
-                "the tick scan is not implemented)")
         m = int(pp_microbatches) or x.shape[0] // dict(mesh.shape)["data"]
 
-        def pp_layer(lp, h, rows, shr):
+        def pp_layer(lp, h, rows, shr, key=None):
             (pb,) = shr
             row_mask = rows[0] if rows else None
             # mesh=None: inside the PP shard_map the devices are already
             # manual, so kernel entry points run per-shard directly.
-            return layer_fn(lp, arch, h, pb, mask=row_mask, rngs=None,
-                            deterministic=True, mesh=None)
+            skip = None
+            if key is not None and arch.layerdrop > 0.0:
+                # per-(layer, microbatch) LayerDrop decision
+                k_ld, key = jax.random.split(key)
+                skip = jax.random.bernoulli(k_ld, arch.layerdrop)
+            r = RngStream(key) if key is not None else None
+            y = layer_fn(lp, arch, h, pb, mask=row_mask, rngs=r,
+                         deterministic=deterministic, mesh=None)
+            return jnp.where(skip, h, y) if skip is not None else y
 
+        # Training: gpipe_apply folds a per-(layer, microbatch) key into
+        # the tick scan — i.i.d. dropout masks, not the sequential pop
+        # order (see gpipe_apply's docstring).
         x = pp.gpipe_apply(pp_layer, params["layers"], x, mesh,
                            microbatches=m,
                            per_row=(mask,) if mask is not None else (),
-                           shared=(pos_bias,))
+                           shared=(pos_bias,),
+                           rng=None if deterministic else rngs.pop())
     else:
         from ..parallel.sp import shard_time, sp_active
         sp = sp_active(mesh, sequence_parallel)
         if sp:
             x = shard_time(x, mesh)
+        # LayerDrop: whole-batch skip decision per layer (HF WavLMEncoder
+        # semantics); the key pops BEFORE the layer's own dropout keys so
+        # remat on/off stays bit-identical.
+        ld = float(arch.layerdrop) if not deterministic else 0.0
+
+        def _ld_skip():
+            return (jax.random.bernoulli(rngs.pop(), ld)
+                    if ld > 0.0 else None)
+
         if remat:
             # Each layer flavor pops exactly 3 dropout keys (hidden,
             # activation, hidden). Keys enter as an explicit argument so
@@ -555,16 +582,20 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
 
             _layer_remat = jax.checkpoint(_layer_remat)
             for layer in params["layers"]:
+                skip = _ld_skip()
                 lkeys = (jnp.stack([rngs.pop() for _ in range(3)])
                          if not deterministic else None)
-                x = _layer_remat(layer, x, lkeys)
+                y = _layer_remat(layer, x, lkeys)
+                x = jnp.where(skip, x, y) if skip is not None else y
                 if sp:
                     x = shard_time(x, mesh)
         else:
             for layer in params["layers"]:
-                x = layer_fn(layer, arch, x, pos_bias, mask=mask,
+                skip = _ld_skip()
+                y = layer_fn(layer, arch, x, pos_bias, mask=mask,
                              rngs=rngs, deterministic=deterministic,
                              mesh=mesh)
+                x = jnp.where(skip, x, y) if skip is not None else y
                 if sp:
                     x = shard_time(x, mesh)
 

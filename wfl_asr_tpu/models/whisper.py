@@ -37,6 +37,9 @@ class WhisperArch:
     use_flash_attention: bool = False   # Pallas fused attention (inference)
     dropout: float = 0.0
     activation_dropout: float = 0.0
+    # LayerDrop on encoder layers (HF encoder_layerdrop); whole-batch
+    # where-select, same semantics note as WavLMArch.layerdrop.
+    layerdrop: float = 0.0
 
     @classmethod
     def from_hf_config(cls, hf) -> "WhisperArch":
@@ -44,7 +47,8 @@ class WhisperArch:
                    num_heads=hf.encoder_attention_heads,
                    ffn_dim=hf.encoder_ffn_dim, num_mel_bins=hf.num_mel_bins,
                    max_source_positions=hf.max_source_positions,
-                   dropout=hf.dropout, activation_dropout=hf.activation_dropout)
+                   dropout=hf.dropout, activation_dropout=hf.activation_dropout,
+                   layerdrop=hf.encoder_layerdrop)
 
 
 # Named presets for the public Whisper encoder family (d_model, layers, heads,
@@ -171,21 +175,32 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
         if mesh is None or "stage" not in mesh.shape:
             raise ValueError("stacked encoder layers require a "
                              "('data','stage') mesh (parallel/pp.py)")
-        if not deterministic:
-            raise NotImplementedError(
-                "pipeline-parallel encoder supports deterministic "
-                "forwards only")
         m = x.shape[0] // dict(mesh.shape)["data"]
-        x = pp.gpipe_apply(
-            lambda lp, h, rows, shr: encoder_layer(
-                lp, arch, h, rngs=None, deterministic=True, mesh=None),
-            params["layers"], x, mesh, microbatches=m)
+
+        def pp_layer(lp, h, rows, shr, key=None):
+            skip = None
+            if key is not None and arch.layerdrop > 0.0:
+                k_ld, key = jax.random.split(key)
+                skip = jax.random.bernoulli(k_ld, arch.layerdrop)
+            r = RngStream(key) if key is not None else None
+            y = encoder_layer(lp, arch, h, rngs=r,
+                              deterministic=deterministic, mesh=None)
+            return jnp.where(skip, h, y) if skip is not None else y
+
+        x = pp.gpipe_apply(pp_layer, params["layers"], x, mesh,
+                           microbatches=m,
+                           rng=None if deterministic else rngs.pop())
         return layer_norm(params["ln_post"], x)
 
     from ..parallel.sp import shard_time, sp_active
     sp = sp_active(mesh, sequence_parallel)
     if sp:
         x = shard_time(x, mesh)
+    ld = float(arch.layerdrop) if not deterministic else 0.0
+
+    def _ld_skip():
+        return jax.random.bernoulli(rngs.pop(), ld) if ld > 0.0 else None
+
     if remat:
         # Each layer pops exactly 3 dropout keys (attn, activation, ffn).
         def _layer_remat(lp, h, lkeys):
@@ -195,15 +210,19 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
 
         _layer_remat = jax.checkpoint(_layer_remat)
         for layer in params["layers"]:
+            skip = _ld_skip()
             lkeys = (jnp.stack([rngs.pop() for _ in range(3)])
                      if not deterministic else None)
-            x = _layer_remat(layer, x, lkeys)
+            y = _layer_remat(layer, x, lkeys)
+            x = jnp.where(skip, x, y) if skip is not None else y
             if sp:
                 x = shard_time(x, mesh)
     else:
         for layer in params["layers"]:
-            x = encoder_layer(layer, arch, x, rngs=rngs,
+            skip = _ld_skip()
+            y = encoder_layer(layer, arch, x, rngs=rngs,
                               deterministic=deterministic, mesh=mesh)
+            x = jnp.where(skip, x, y) if skip is not None else y
             if sp:
                 x = shard_time(x, mesh)
 

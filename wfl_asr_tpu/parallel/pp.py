@@ -95,9 +95,37 @@ def place_stacked(stacked, mesh: Mesh):
     return jax.tree_util.tree_map(put, stacked)
 
 
+def pp_shardings(tree, mesh: Mesh):
+    """Pytree of NamedShardings for a tagger param/opt-state tree whose
+    encoder layers are STACKED (``stack_layers``): any leaf under an
+    ``encoder``→``layers`` dict path shards its leading (layer) axis over
+    ``stage``; everything else replicates. Optimizer-state trees mirror
+    the param paths (optax moments embed the param tree), so the same
+    path rule places them consistently — the train-loop counterpart of
+    tp.py's ``tp_shardings``."""
+    def spec(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", str(k)))
+                for k in path]
+        for i in range(len(keys) - 1):
+            if keys[i] == "encoder" and keys[i + 1] == "layers":
+                if leaf.ndim >= 1:
+                    return P("stage", *([None] * (leaf.ndim - 1)))
+                return P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), tree)
+
+
+def shard_params_pp(tree, mesh: Mesh):
+    """Place a (stacked-encoder) tree with ``pp_shardings``."""
+    return jax.tree_util.tree_map(jax.device_put, tree,
+                                  pp_shardings(tree, mesh))
+
+
 def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
                 mesh: Mesh, microbatches: int,
-                per_row=(), shared=()):
+                per_row=(), shared=(), rng=None):
     """Pipelined ``for layer in layers: x = layer_fn(layer, x, ...)``.
 
     ``layer_fn(layer_params, h, per_row, shared) -> h`` applies ONE layer
@@ -109,6 +137,16 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
     ``stacked`` is the ``place_stacked`` pytree; ``x`` is ``[B, T, H]``
     with B divisible by ``microbatches``, and microbatch rows divisible by
     the data-axis size. Returns ``[B, T, H]``, replicated over ``stage``.
+
+    ``rng``: a PRNG key enabling stochastic layers (dropout) under the
+    tick scan — training mode. When given, ``layer_fn`` is called with a
+    fifth argument, a key unique per (layer, microbatch):
+    ``fold_in(fold_in(rng, global_layer_index), microbatch_index)``. The
+    masks are i.i.d. but deliberately NOT the sequential loop's split
+    sequence (a pipelined schedule has no global pop order). The whole
+    schedule is differentiable — scan/ppermute/psum/dynamic-slice all have
+    transposes, and the warmup/drain garbage ticks receive zero cotangents
+    (their results never reach the output).
     """
     shape = dict(mesh.shape)
     S = shape["stage"]
@@ -137,15 +175,23 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
     per_row_specs = jax.tree_util.tree_map(row_spec, per_row_mb)
     shared_specs = jax.tree_util.tree_map(lambda _: P(), shared)
 
-    def pipeline(local_layers, xs, rows, shr):
+    lps = n_layers // S
+
+    def pipeline(local_layers, xs, rows, shr, key):
         # local_layers: [L/S, ...] — this stage's slice.
         # xs: [M, mb/data, T, H] — per-device microbatch rows.
         idx = jax.lax.axis_index("stage")
 
-        def apply_local(h, rows_t):
-            def body(h, lp):
+        def apply_local(h, rows_t, mb_idx):
+            def body(h, layer_i):
+                lp, li = layer_i
+                if key is not None:
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, idx * lps + li), mb_idx)
+                    return layer_fn(lp, h, rows_t, shr, k), None
                 return layer_fn(lp, h, rows_t, shr), None
-            h, _ = jax.lax.scan(body, h, local_layers)
+            h, _ = jax.lax.scan(body, h,
+                                (local_layers, jnp.arange(lps)))
             return h
 
         fwd_perm = [(i, (i + 1) % S) for i in range(S)]
@@ -162,7 +208,7 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
                 lambda r: jax.lax.dynamic_index_in_dim(
                     r, t_here, 0, keepdims=False), rows)
             h = jnp.where(idx == 0, feed, buf)
-            h = apply_local(h, rows_t)
+            h = apply_local(h, rows_t, t_here)
             nxt = jax.lax.ppermute(h, "stage", fwd_perm)
             # The last stage finishes microbatch (t - S + 1) at tick t.
             # Early garbage writes clamp to index 0 and are overwritten by
@@ -182,8 +228,8 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
     y = jax.shard_map(
         pipeline, mesh=mesh,
         in_specs=(layer_specs, P(None, "data", None, None),
-                  per_row_specs, shared_specs),
+                  per_row_specs, shared_specs, P()),
         out_specs=P(None, "data", None, None),
         check_vma=False,
-    )(stacked, x_mb, per_row_mb, shared)
+    )(stacked, x_mb, per_row_mb, shared, rng)
     return y.reshape((B,) + x.shape[1:])

@@ -558,7 +558,26 @@ def train(config_path: str = "config.yaml",
                                             False)))
     if remat:
         print("[INFO] Gradient checkpointing (remat) on encoder layers")
-    use_mesh = n_devices > 1 and (model_parallel > 1 or bool(
+    # training.pipeline_parallel: S — GPipe the encoder transformer stack
+    # over a ('data','stage') mesh (parallel/pp.py). Each stage holds
+    # layers/S of the encoder; composes with DP on 'data'. Mutually
+    # exclusive with TP (different reserved mesh axes).
+    pipeline_parallel = int(tsec.get("pipeline_parallel", 1))
+    if pipeline_parallel > 1:
+        if model_parallel > 1:
+            raise ValueError("training.pipeline_parallel and "
+                             "training.model_parallel are mutually "
+                             "exclusive (different mesh layouts)")
+        if pcount > 1:
+            raise ValueError(
+                "pipeline_parallel > 1 is not supported across hosts: "
+                "checkpointing needs locally-addressable stages. Use data "
+                "parallelism across hosts and PP within one host.")
+        if arch.encoder_type not in ("wavlm", "whisper"):
+            raise ValueError("training.pipeline_parallel needs a layered "
+                             "encoder (wavlm or whisper)")
+    use_mesh = n_devices > 1 and (model_parallel > 1
+                                  or pipeline_parallel > 1 or bool(
         cfg.raw.get("training", {}).get("data_parallel", True)))
     mesh = None
     if use_mesh:
@@ -569,7 +588,11 @@ def train(config_path: str = "config.yaml",
                 "validation/checkpointing need locally-addressable "
                 "(replicated) parameters. Use data parallelism across "
                 "hosts and TP within one host.")
-        mesh = make_mesh(model_parallel=model_parallel)
+        if pipeline_parallel > 1:
+            from ..parallel import pp as ppmod
+            mesh = ppmod.make_pp_mesh(pipeline_parallel)
+        else:
+            mesh = make_mesh(model_parallel=model_parallel)
         data_size = mesh.shape["data"]
         if cfg.batch_size % data_size != 0:
             raise ValueError(
@@ -577,6 +600,9 @@ def train(config_path: str = "config.yaml",
                 f"{data_size}-way data axis")
         print(f"[INFO] Parallel over {n_devices} devices "
               f"(mesh {dict(mesh.shape)})")
+    elif pipeline_parallel > 1:
+        raise ValueError("training.pipeline_parallel needs multiple "
+                         "visible devices")
 
     if jax.devices()[0].platform == "tpu":
         # Differentiable Pallas flash attention for every encoder flavor
@@ -606,6 +632,22 @@ def train(config_path: str = "config.yaml",
     if cfg.finetuning_enable:
         params, model_state = finetune_surgery(params, model_state, arch,
                                                cfg, label_list, ft_rng)
+
+    def _stack_encoder(p):
+        # PP: the encoder's layer list becomes one [L]-leading stacked
+        # pytree (parallel/pp.py) — done BEFORE tx.init so the optimizer
+        # state mirrors the stacked tree (and the train-state sidecars
+        # are saved/restored in stacked form; the torch-format model
+        # checkpoints stay canonical/unstacked via _ckpt_view below).
+        from ..parallel import pp as _pp
+        p = dict(p)
+        enc = dict(p["encoder"])
+        enc["layers"] = _pp.stack_layers(enc["layers"])
+        p["encoder"] = enc
+        return p
+
+    if pipeline_parallel > 1:
+        params = _stack_encoder(params)
 
     mask = encoder_freeze_mask(params) if (arch.freeze_encoder and
                                            "encoder" in params) else None
@@ -698,6 +740,8 @@ def train(config_path: str = "config.yaml",
     for cand_path, cand_step in candidates:
         try:
             params, model_state = load_model_checkpoint(cand_path, arch)
+            if pipeline_parallel > 1:
+                params = _stack_encoder(params)
             resume = (cand_path, cand_step)
             break
         except _corruption as e:  # truncated/corrupt file
@@ -773,7 +817,17 @@ def train(config_path: str = "config.yaml",
 
     if mesh is not None:
         from ..parallel import replicate, shard_params_tp, tp_shardings
-        if mesh.shape["model"] > 1:
+        if pipeline_parallel > 1:
+            # Stacked encoder layers shard their leading (layer) axis over
+            # 'stage'; everything else — heads, optimizer moments of the
+            # heads — replicates. The optimizer moments of the stacked
+            # layers follow the same path rule (pp_shardings).
+            from ..parallel import pp as ppmod
+            params = ppmod.shard_params_pp(params, mesh)
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, ppmod.pp_shardings(opt_state,
+                                                              mesh))
+        elif mesh.shape["model"] > 1:
             # Tensor parallelism as a config change (training.model_parallel):
             # Megatron-style shardings on the attention/FFN projections; the
             # optimizer moments mirror the param tree's path suffixes, so the
@@ -789,6 +843,17 @@ def train(config_path: str = "config.yaml",
         params = jax.device_put(params)
         model_state = jax.device_put(model_state)
         opt_state = jax.device_put(opt_state)
+
+    def _ckpt_view(p):
+        # torch-format checkpoints are ALWAYS canonical (unstacked layer
+        # lists) so convert.py interop and PP-off resumes keep working.
+        if pipeline_parallel > 1:
+            from ..parallel import pp as _pp
+            p = dict(p)
+            enc = dict(p["encoder"])
+            enc["layers"] = _pp.unstack_layers(enc["layers"])
+            p["encoder"] = enc
+        return p
 
     seg_weights = cfg.segmental_loss_weights
     seg_weight = cfg.segmental_loss_weight
@@ -966,8 +1031,8 @@ def train(config_path: str = "config.yaml",
                 if pidx == 0:
                     model_path = os.path.join(save_dir,
                                               f"model_step{step}.pt")
-                    save_model_checkpoint(model_path, params, model_state,
-                                          arch, fmt=ckpt_fmt)
+                    save_model_checkpoint(model_path, _ckpt_view(params),
+                                          model_state, arch, fmt=ckpt_fmt)
                     save_train_state(model_path, opt_state, step,
                                      np.asarray(rng),
                                      scheduler_state=scheduler.state_dict())
@@ -979,7 +1044,8 @@ def train(config_path: str = "config.yaml",
                     if pidx == 0:
                         save_model_checkpoint(
                             os.path.join(save_dir, "best_model.pt"),
-                            params, model_state, arch, fmt=ckpt_fmt)
+                            _ckpt_view(params), model_state, arch,
+                            fmt=ckpt_fmt)
                         print(f"\nSaved best model with loss = "
                               f"{val_loss:.4f}")
 
@@ -1019,7 +1085,8 @@ def train(config_path: str = "config.yaml",
     profile_ctx.__exit__(None, None, None)
     if pidx == 0:
         save_model_checkpoint(os.path.join(save_dir, "last_model.pt"),
-                              params, model_state, arch, fmt=ckpt_fmt)
+                              _ckpt_view(params), model_state, arch,
+                              fmt=ckpt_fmt)
     metrics_log.close()
     print("\nTraining complete at max_steps!")
     # Final state, for callers that keep going (tests, notebooks). On a
