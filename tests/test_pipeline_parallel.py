@@ -484,3 +484,35 @@ def test_train_driver_pipeline_parallel(tmp_path):
     import yaml
     yaml.safe_dump(config, open(cfg_path, "w"))
     train(cfg_path)
+
+
+def test_pp_remat_grads_match():
+    """training.remat composes with PP: grads through the rematerialized
+    GPipe schedule == the plain PP grads (same keys, dropout active)."""
+    import dataclasses
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+
+    arch = dataclasses.replace(graft._flagship_arch(tiny=True).wavlm,
+                               num_layers=4, hidden_dropout=0.2,
+                               layerdrop=0.3)
+    params = init_wavlm(jax.random.PRNGKey(0), arch)
+    mesh = pp.make_pp_mesh(4)
+    pp_params = dict(params)
+    pp_params["layers"] = pp.place_stacked(
+        pp.stack_layers(params["layers"]), mesh)
+    rng = np.random.RandomState(11)
+    audio = jnp.asarray((rng.randn(8, 4000) * 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(13)
+
+    def loss(p, remat):
+        h = wavlm_encode(p, arch, audio, rng=key, deterministic=False,
+                         mesh=mesh, remat=remat)
+        return jnp.sum(h * h)
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(pp_params)
+    g_rm = jax.jit(jax.grad(lambda p: loss(p, True)))(pp_params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_rm),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

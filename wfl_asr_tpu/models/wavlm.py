@@ -543,10 +543,21 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
                 # per-(layer, microbatch) LayerDrop decision
                 k_ld, key = jax.random.split(key)
                 skip = jax.random.bernoulli(k_ld, arch.layerdrop)
-            r = RngStream(key) if key is not None else None
-            y = layer_fn(lp, arch, h, pb, mask=row_mask, rngs=r,
-                         deterministic=deterministic, mesh=None)
+            y = _pp_body(lp, h, pb, row_mask, key)
             return jnp.where(skip, h, y) if skip is not None else y
+
+        def _pp_body(lp, h, pb, row_mask, key):
+            return layer_fn(lp, arch, h, pb, mask=row_mask,
+                            rngs=RngStream(key) if key is not None
+                            else None,
+                            deterministic=deterministic, mesh=None)
+
+        if remat:
+            # PP + remat: each stage rematerializes its local layers in
+            # the backward scan — the per-stage analogue of the
+            # sequential remat branch below (training.remat composes
+            # with training.pipeline_parallel).
+            _pp_body = jax.checkpoint(_pp_body)
 
         # Training: gpipe_apply folds a per-(layer, microbatch) key into
         # the tick scan — i.i.d. dropout masks, not the sequential pop

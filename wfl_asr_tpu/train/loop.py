@@ -156,7 +156,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                     compute_dtype=jnp.float32,
                     seg_diff_weight: float = 0.0, mesh=None,
                     sequence_parallel: bool = False,
-                    remat: bool = False):
+                    remat: bool = False,
+                    pp_microbatches: int = 0):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -167,7 +168,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
                 compute_dtype=compute_dtype, mesh=mesh,
-                sequence_parallel=sequence_parallel, remat=remat)
+                sequence_parallel=sequence_parallel, remat=remat,
+                pp_microbatches=pp_microbatches)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -193,7 +195,8 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
                    subframe_weight: float, compute_dtype=jnp.float32,
                    seg_diff_weight: float = 0.0, mesh=None,
                    sequence_parallel: bool = False,
-                   remat: bool = False):
+                   remat: bool = False,
+                   pp_microbatches: int = 0):
     """Micro-batch gradient computation for gradient accumulation
     (training.grad_accumulation > 1): same loss as make_train_step but
     returns grads instead of applying them. Params are NOT donated (reused
@@ -208,7 +211,8 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
                 p, model_state, arch, audio, lang_ids,
                 max_label_len=max_label_len, rng=rng, train=True,
                 compute_dtype=compute_dtype, mesh=mesh,
-                sequence_parallel=sequence_parallel, remat=remat)
+                sequence_parallel=sequence_parallel, remat=remat,
+                pp_microbatches=pp_microbatches)
             ce = cross_entropy(logits, labels, label_smoothing)
             ol = offset_loss(offsets, off_f, off_c, off_x, off_v)
             loss = ce + subframe_weight * ol
@@ -250,14 +254,16 @@ def _accumulate_grads(grad_sum, grads):
 
 
 def make_eval_step(arch: TaggerArch, label_smoothing: float, mesh=None,
-                   sequence_parallel: bool = False):
+                   sequence_parallel: bool = False,
+                   pp_microbatches: int = 0):
     @functools.partial(jax.jit, static_argnames=("max_label_len",))
     def eval_step(params, model_state, audio, labels, lang_ids,
                   max_label_len: int):
         logits, offsets, _ = apply_tagger(
             params, model_state, arch, audio, lang_ids,
             max_label_len=max_label_len, train=False, mesh=mesh,
-            sequence_parallel=sequence_parallel)
+            sequence_parallel=sequence_parallel,
+            pp_microbatches=pp_microbatches)
         ce = cross_entropy(logits, labels, label_smoothing)
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return ce, pred_ids, offsets
@@ -563,6 +569,10 @@ def train(config_path: str = "config.yaml",
     # layers/S of the encoder; composes with DP on 'data'. Mutually
     # exclusive with TP (different reserved mesh axes).
     pipeline_parallel = int(tsec.get("pipeline_parallel", 1))
+    # training.pp_microbatches: GPipe microbatch count M (bubble fraction
+    # (S-1)/(M+S-1)); 0 = one row-group per data shard. Larger M shrinks
+    # the pipeline bubble at smaller per-tick matmuls.
+    pp_microbatches = int(tsec.get("pp_microbatches", 0))
     if pipeline_parallel > 1:
         if model_parallel > 1:
             raise ValueError("training.pipeline_parallel and "
@@ -685,9 +695,11 @@ def train(config_path: str = "config.yaml",
         arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
         compute_dtype=compute_dtype,
         seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
-        sequence_parallel=sequence_parallel, remat=remat)
+        sequence_parallel=sequence_parallel, remat=remat,
+        pp_microbatches=pp_microbatches)
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh,
-                               sequence_parallel=sequence_parallel)
+                               sequence_parallel=sequence_parallel,
+                               pp_microbatches=pp_microbatches)
     # Multi-host: every process evaluates the FULL val set with local
     # compute on the (replicated → locally addressable) params. Identical
     # inputs → identical metrics on every host, so schedulers that consume
@@ -706,7 +718,8 @@ def train(config_path: str = "config.yaml",
             arch, cfg.label_smoothing, cfg.subframe_loss_weight,
             compute_dtype=compute_dtype,
             seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
-            sequence_parallel=sequence_parallel, remat=remat)
+            sequence_parallel=sequence_parallel, remat=remat,
+            pp_microbatches=pp_microbatches)
         apply_step = make_accum_apply(tx)
         print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
               f"per update (effective batch "
