@@ -157,7 +157,8 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
                     seg_diff_weight: float = 0.0, mesh=None,
                     sequence_parallel: bool = False,
                     remat: bool = False,
-                    pp_microbatches: int = 0):
+                    pp_microbatches: int = 0,
+                    param_shardings=None):
     @functools.partial(jax.jit, static_argnames=("max_label_len",),
                        donate_argnames=("params", "model_state", "opt_state"))
     def train_step(params, model_state, opt_state, rng, audio, labels,
@@ -182,6 +183,11 @@ def make_train_step(arch: TaggerArch, label_smoothing: float,
 
         (loss, (new_state, ce, ol, logits, offsets)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if param_shardings is not None:
+            # FSDP: pin grads to the param shardings so the batch-grad
+            # reduction lowers to a reduce-scatter and the optimizer
+            # update runs per-shard (ZeRO update partitioning).
+            grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -196,7 +202,8 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
                    seg_diff_weight: float = 0.0, mesh=None,
                    sequence_parallel: bool = False,
                    remat: bool = False,
-                   pp_microbatches: int = 0):
+                   pp_microbatches: int = 0,
+                   param_shardings=None):
     """Micro-batch gradient computation for gradient accumulation
     (training.grad_accumulation > 1): same loss as make_train_step but
     returns grads instead of applying them. Params are NOT donated (reused
@@ -223,6 +230,10 @@ def make_grad_step(arch: TaggerArch, label_smoothing: float,
 
         (loss, (new_state, ce, ol, logits, offsets)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if param_shardings is not None:
+            # FSDP: reduce-scatter each micro-batch's grads so the f32
+            # accumulator stays sharded like the params it will update.
+            grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         metrics = {"loss": loss, "ce": ce, "offset_loss": ol}
         return grads, new_state, metrics, pred_ids, offsets
@@ -586,8 +597,27 @@ def train(config_path: str = "config.yaml",
         if arch.encoder_type not in ("wavlm", "whisper"):
             raise ValueError("training.pipeline_parallel needs a layered "
                              "encoder (wavlm or whisper)")
+    # training.fsdp: ZeRO-3-style fully-sharded data parallelism — params
+    # AND optimizer state shard over 'data' (parallel/fsdp.py). GSPMD
+    # all-gathers weights per layer on demand and reduce-scatters grads;
+    # per-device params+moments residency drops ~data-axis-fold (Prodigy
+    # keeps three param-sized slots, so this is the big-model lever).
+    fsdp = bool(tsec.get("fsdp", False))
+    if fsdp:
+        if model_parallel > 1 or pipeline_parallel > 1:
+            raise ValueError(
+                "training.fsdp is mutually exclusive with model_parallel/"
+                "pipeline_parallel (different parameter placements)")
+        if pcount > 1:
+            raise ValueError(
+                "training.fsdp is not supported across hosts: validation/"
+                "checkpointing need locally-addressable parameters. Use "
+                "plain data parallelism across hosts and FSDP within one.")
+        if n_devices <= 1:
+            print("[WARN] training.fsdp ignored: single visible device")
+            fsdp = False
     use_mesh = n_devices > 1 and (model_parallel > 1
-                                  or pipeline_parallel > 1 or bool(
+                                  or pipeline_parallel > 1 or fsdp or bool(
         cfg.raw.get("training", {}).get("data_parallel", True)))
     mesh = None
     if use_mesh:
@@ -691,12 +721,22 @@ def train(config_path: str = "config.yaml",
     compute_dtype = jnp.bfloat16 if str(
         cfg.raw.get("training", {}).get("compute_dtype", "float32")) \
         in ("bfloat16", "bf16") else jnp.float32
+    # FSDP: an explicit sharding constraint on the gradients turns the
+    # batch-grad reduction into a reduce-scatter (each device updates only
+    # its own parameter shard — ZeRO's update partitioning). Shape-driven,
+    # so it matches however params were (re)loaded.
+    param_shardings = None
+    if fsdp and mesh is not None:
+        from ..parallel.fsdp import fsdp_shardings
+        param_shardings = fsdp_shardings(params, mesh)
+        print(f"[INFO] FSDP: params + optimizer state sharded over the "
+              f"{mesh.shape['data']}-way data axis")
     train_step = make_train_step(
         arch, cfg.label_smoothing, cfg.subframe_loss_weight, tx,
         compute_dtype=compute_dtype,
         seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
         sequence_parallel=sequence_parallel, remat=remat,
-        pp_microbatches=pp_microbatches)
+        pp_microbatches=pp_microbatches, param_shardings=param_shardings)
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh,
                                sequence_parallel=sequence_parallel,
                                pp_microbatches=pp_microbatches)
@@ -719,7 +759,8 @@ def train(config_path: str = "config.yaml",
             compute_dtype=compute_dtype,
             seg_diff_weight=cfg.differentiable_segmental_weight, mesh=mesh,
             sequence_parallel=sequence_parallel, remat=remat,
-            pp_microbatches=pp_microbatches)
+            pp_microbatches=pp_microbatches,
+            param_shardings=param_shardings)
         apply_step = make_accum_apply(tx)
         print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
               f"per update (effective batch "
@@ -848,6 +889,13 @@ def train(config_path: str = "config.yaml",
             params = shard_params_tp(params, mesh)
             opt_state = jax.tree_util.tree_map(
                 jax.device_put, opt_state, tp_shardings(opt_state, mesh))
+        elif fsdp:
+            # ZeRO-3: every large leaf (params AND optimizer moments —
+            # same shapes, same shape-driven rule) shards one dim over
+            # 'data'; small leaves replicate (parallel/fsdp.py).
+            from ..parallel.fsdp import shard_params_fsdp
+            params = shard_params_fsdp(params, mesh)
+            opt_state = shard_params_fsdp(opt_state, mesh)
         else:
             params = replicate(params, mesh)
             opt_state = replicate(opt_state, mesh)
