@@ -14,7 +14,8 @@ stamp() { date +%H:%M:%S; }
 run() {
   echo "===== [$(stamp)] $*"
   "$@"
-  echo "----- [$(stamp)] rc=$?"
+  local rc=$?   # capture BEFORE the next $(stamp) substitution clobbers $?
+  echo "----- [$(stamp)] rc=$rc"
 }
 
 # 1. Headline bench revalidation (r3's number was never driver-captured).

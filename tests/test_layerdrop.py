@@ -130,8 +130,9 @@ def test_layerdrop_whisper():
 
 
 def test_layerdrop_under_pipeline_parallel():
-    """PP + LayerDrop: per-(layer, microbatch) skip decisions; runs and is
-    deterministic given the key, and layerdrop=1.0 skips everything."""
+    """PP + LayerDrop: whole-batch per-layer skip decisions (drawn from
+    gpipe's layer_key, so every microbatch of a layer agrees — HF
+    semantics); layerdrop=1.0 skips everything."""
     from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
     from wfl_asr_tpu.parallel import pp
 

@@ -201,6 +201,81 @@ def test_whisper_encoder_pipelined_matches_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_whisper_pp_remat_grads_identical():
+    """PP + remat on the whisper encoder: remat must actually apply in the
+    GPipe branch (it was silently ignored pre-fix) and leave train-mode
+    gradients bit-compatible with the non-remat PP path (keys enter the
+    checkpointed body as explicit arguments)."""
+    from wfl_asr_tpu.models.whisper import (WhisperArch,
+                                            init_whisper_encoder,
+                                            whisper_encode)
+
+    arch = WhisperArch(num_mel_bins=8, d_model=16, num_layers=4,
+                       num_heads=2, ffn_dim=32, max_source_positions=50,
+                       dropout=0.1, activation_dropout=0.1)
+    params = init_whisper_encoder(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(6)
+    feats = jnp.asarray(rng.randn(8, 8, 100).astype(np.float32))
+    mesh = pp.make_pp_mesh(4)
+    pp_params = dict(params)
+    pp_params["layers"] = pp.place_stacked(
+        pp.stack_layers(params["layers"]), mesh)
+
+    def loss(p, remat):
+        h = whisper_encode(p, arch, feats, rng=jax.random.PRNGKey(7),
+                           deterministic=False, mesh=mesh, remat=remat)
+        return jnp.sum(h * h)
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(pp_params)
+    g_rm = jax.jit(jax.grad(lambda p: loss(p, True)))(pp_params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_rm),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_whisper_pp_microbatches_threaded(monkeypatch):
+    """pp_microbatches reaches the whisper GPipe branch (it was silently
+    dropped pre-fix): a spy on gpipe_apply sees the requested count, an
+    indivisible request clamps to the largest legal divisor of B/data
+    (validation batches are smaller than training's — same knob must
+    serve both), and numerics are unchanged either way."""
+    from wfl_asr_tpu.models.whisper import (WhisperArch,
+                                            init_whisper_encoder,
+                                            whisper_encode)
+    from wfl_asr_tpu.parallel import pp as pp_mod
+
+    arch = WhisperArch(num_mel_bins=8, d_model=16, num_layers=4,
+                       num_heads=2, ffn_dim=32, max_source_positions=50)
+    params = init_whisper_encoder(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(8, 8, 100).astype(np.float32))
+    mesh = pp.make_pp_mesh(4)                      # (data=2, stage=4)
+    pp_params = dict(params)
+    pp_params["layers"] = pp.place_stacked(
+        pp.stack_layers(params["layers"]), mesh)
+
+    seen = []
+    real = pp_mod.gpipe_apply
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs["microbatches"])
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pp_mod, "gpipe_apply", spy)
+
+    base = whisper_encode(pp_params, arch, feats, mesh=mesh)
+    m2 = whisper_encode(pp_params, arch, feats, mesh=mesh,
+                        pp_microbatches=2)
+    m3 = whisper_encode(pp_params, arch, feats, mesh=mesh,
+                        pp_microbatches=3)         # gcd(3, 8/2=4) -> 1
+    assert seen == [4, 2, 1]
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_session_pipeline_parallel_matches_plain(tmp_path):
     """model.pipeline_parallel: 2 — end-to-end session parity vs the
     single-device session on a tiny WavLM tagger (forward logits and the
@@ -288,7 +363,7 @@ def test_gpipe_rng_threading_dropout():
     stacked = _stacked_mlp(rng, 4, 8)
     x = jnp.asarray(rng.randn(8, 6, 8).astype(np.float32))
 
-    def layer(lp, h, rows, shr, key=None):
+    def layer(lp, h, rows, shr, key=None, layer_key=None):
         h = jnp.tanh(h @ lp["w"] + lp["b"])
         if key is not None:
             keep = jax.random.bernoulli(key, 0.5, h.shape)
@@ -312,6 +387,35 @@ def test_gpipe_rng_threading_dropout():
         lambda lp, h, rows, shr: layer(lp, h, rows, shr),
         s, a, mesh, microbatches=4))(placed, x)
     assert not np.allclose(np.asarray(out1), np.asarray(det))
+
+
+def test_gpipe_layer_key_is_whole_batch():
+    """layer_key is identical for every microbatch of a layer (the
+    whole-batch LayerDrop contract): a layer that adds a bernoulli draw
+    from layer_key must shift ALL batch rows by the same per-layer
+    amount, regardless of which microbatch they rode in."""
+    rng = np.random.RandomState(9)
+    stacked = _stacked_mlp(rng, 4, 8)
+    x = jnp.asarray(rng.randn(8, 6, 8).astype(np.float32))
+
+    def layer(lp, h, rows, shr, key=None, layer_key=None):
+        if layer_key is None:
+            return h
+        draw = jax.random.bernoulli(
+            jax.random.fold_in(layer_key, 0x4C44), 0.5)
+        return h + draw.astype(h.dtype)
+
+    mesh = pp.make_pp_mesh(4)
+    placed = pp.place_stacked(stacked, mesh)
+    out = jax.jit(lambda s, a, k: pp.gpipe_apply(
+        layer, s, a, mesh, microbatches=4,
+        rng=k))(placed, x, jax.random.PRNGKey(5))
+    shift = np.asarray(out) - np.asarray(x)
+    # every element shifted by the same integer total (sum of the four
+    # per-layer whole-batch draws) — per-microbatch draws would differ
+    # between row groups
+    assert np.allclose(shift, shift.flat[0])
+    assert float(shift.flat[0]).is_integer()
 
 
 def test_wavlm_pipelined_train_mode_runs():

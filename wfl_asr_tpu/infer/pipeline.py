@@ -196,14 +196,10 @@ class InferenceSession:
             from ..parallel import replicate
             if pp_stages > 1:
                 # Stacked encoder layers shard their leading (layer) axis
-                # over 'stage'; everything else replicates.
+                # over 'stage'; everything else replicates — one call,
+                # the same path-rule placement the train driver uses.
                 from ..parallel import pp as _pp
-                stacked = params["encoder"].pop("layers")
-                self.params = replicate(params, mesh)
-                enc = dict(self.params["encoder"])
-                enc["layers"] = _pp.place_stacked(stacked, mesh)
-                self.params = dict(self.params)
-                self.params["encoder"] = enc
+                self.params = _pp.shard_params_pp(params, mesh)
             elif mp > 1:
                 # Megatron TP serving: weight shards on 'model' (quantized
                 # int8 leaves keep replicated placement — their param names

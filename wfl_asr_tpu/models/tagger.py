@@ -61,24 +61,11 @@ def wavlm_arch_from_name(model_name: str) -> WavLMArch:
     # A local HF checkpoint directory (the layout from_pretrained consumes;
     # reference model.py:72-81 accepts any name): read its config.json —
     # custom-dimension fine-tuned encoders need no manual overrides.
-    import os
-    if os.path.isdir(model_name) and \
-            os.path.exists(os.path.join(model_name, "config.json")):
-        import json
-        from transformers import WavLMConfig
-        # from_pretrained only WARNS on a model_type mismatch and returns a
-        # default-valued WavLMConfig — a whisper (or any other) directory
-        # would silently build a wrong-dimension arch and die later with an
-        # opaque shape error. Check the declared type up front.
-        with open(os.path.join(model_name, "config.json")) as f:
-            declared = json.load(f).get("model_type")
-        if declared not in (None, "wavlm"):
-            raise ValueError(
-                f"{model_name!r} declares model_type={declared!r} in its "
-                f"config.json; model.wavlm_model needs a 'wavlm' checkpoint "
-                f"directory.")
-        return WavLMArch.from_hf_config(
-            WavLMConfig.from_pretrained(model_name))
+    from .hf_local import local_hf_arch
+    local = local_hf_arch(model_name, "wavlm", "WavLMConfig",
+                          WavLMArch, "model.wavlm_model")
+    if local is not None:
+        return local
     tail = model_name.split("/")[-1].removeprefix("wavlm-")
     if tail in WAVLM_PRESETS:
         return WAVLM_PRESETS[tail]
@@ -246,6 +233,7 @@ def encode(params, arch: TaggerArch, audio: jnp.ndarray,
                               rng=rng, deterministic=deterministic,
                               compute_dtype=compute_dtype, mesh=mesh,
                               sequence_parallel=sequence_parallel,
+                              pp_microbatches=pp_microbatches,
                               remat=remat)
     if arch.encoder_type == "wavlm":
         if sample_mask is not None:

@@ -531,17 +531,28 @@ def wavlm_encode(params, arch: WavLMArch, audio: jnp.ndarray,
         if mesh is None or "stage" not in mesh.shape:
             raise ValueError("stacked encoder layers require a "
                              "('data','stage') mesh (parallel/pp.py)")
-        m = int(pp_microbatches) or x.shape[0] // dict(mesh.shape)["data"]
+        # Legal microbatch counts divide B/data (gpipe_apply needs M | B
+        # and data | B/M). Clamp the requested count to the largest legal
+        # divisor: the SAME knob must serve train (B=batch_size) and the
+        # smaller validation batches without retuning.
+        import math
+        cap = x.shape[0] // dict(mesh.shape)["data"]
+        m = int(pp_microbatches) or cap
+        m = max(1, math.gcd(m, cap))
 
-        def pp_layer(lp, h, rows, shr, key=None):
+        def pp_layer(lp, h, rows, shr, key=None, layer_key=None):
             (pb,) = shr
             row_mask = rows[0] if rows else None
             # mesh=None: inside the PP shard_map the devices are already
             # manual, so kernel entry points run per-shard directly.
             skip = None
             if key is not None and arch.layerdrop > 0.0:
-                # per-(layer, microbatch) LayerDrop decision
-                k_ld, key = jax.random.split(key)
+                # LayerDrop draws from the LAYER key (identical across
+                # microbatches AND stages), so one step skips a layer for
+                # the whole batch or not at all — the HF semantics the
+                # sequential loop has. 0x4C44 ("LD") keeps the draw clear
+                # of the fold_in(layer_key, mb_idx) dropout keys.
+                k_ld = jax.random.fold_in(layer_key, 0x4C44)
                 skip = jax.random.bernoulli(k_ld, arch.layerdrop)
             y = _pp_body(lp, h, pb, row_mask, key)
             return jnp.where(skip, h, y) if skip is not None else y

@@ -82,22 +82,11 @@ def whisper_arch_from_name(model_name: str) -> WhisperArch:
     model.py:69-71 accepts any name). Unknown names raise with the preset
     list — silently mapping (say) a 128-mel v3 onto the 80-mel "large"
     preset would fail with an opaque shape error mid-forward."""
-    import os
-    if os.path.isdir(model_name) and \
-            os.path.exists(os.path.join(model_name, "config.json")):
-        import json
-        from transformers import WhisperConfig
-        # from_pretrained only WARNS on a model_type mismatch and returns
-        # default values — check the declared type before building an arch.
-        with open(os.path.join(model_name, "config.json")) as f:
-            declared = json.load(f).get("model_type")
-        if declared not in (None, "whisper"):
-            raise ValueError(
-                f"{model_name!r} declares model_type={declared!r} in its "
-                f"config.json; model.whisper_model needs a 'whisper' "
-                f"checkpoint directory.")
-        return WhisperArch.from_hf_config(
-            WhisperConfig.from_pretrained(model_name))
+    from .hf_local import local_hf_arch
+    local = local_hf_arch(model_name, "whisper", "WhisperConfig",
+                          WhisperArch, "model.whisper_model")
+    if local is not None:
+        return local
     tail = model_name.split("/")[-1].removeprefix("whisper-")
     size = tail.split(".")[0]            # drop ".en" language suffix
     if size not in WHISPER_PRESETS:
@@ -149,6 +138,7 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
                    deterministic: bool = True,
                    compute_dtype=jnp.float32, mesh=None,
                    sequence_parallel: bool = False,
+                   pp_microbatches: int = 0,
                    remat: bool = False) -> jnp.ndarray:
     """Log-mel [B, n_mels, 3000] → hidden states [B, 1500, D].
 
@@ -175,16 +165,32 @@ def whisper_encode(params, arch: WhisperArch, input_features: jnp.ndarray,
         if mesh is None or "stage" not in mesh.shape:
             raise ValueError("stacked encoder layers require a "
                              "('data','stage') mesh (parallel/pp.py)")
-        m = x.shape[0] // dict(mesh.shape)["data"]
+        # clamp to the largest legal divisor of B/data — same rationale
+        # as wavlm_encode's PP branch (validation batches are smaller)
+        import math
+        cap = x.shape[0] // dict(mesh.shape)["data"]
+        m = int(pp_microbatches) or cap
+        m = max(1, math.gcd(m, cap))
 
-        def pp_layer(lp, h, rows, shr, key=None):
+        def _pp_body(lp, h, key):
+            r = RngStream(key) if key is not None else None
+            return encoder_layer(lp, arch, h, rngs=r,
+                                 deterministic=deterministic, mesh=None)
+
+        if remat:
+            # PP + remat: each stage rematerializes its local layers in
+            # the backward scan (same contract as wavlm_encode's PP
+            # branch; keys enter as explicit arguments).
+            _pp_body = jax.checkpoint(_pp_body)
+
+        def pp_layer(lp, h, rows, shr, key=None, layer_key=None):
             skip = None
             if key is not None and arch.layerdrop > 0.0:
-                k_ld, key = jax.random.split(key)
+                # whole-batch LayerDrop from the LAYER key (HF semantics;
+                # see wavlm_encode's PP branch for the fold rationale).
+                k_ld = jax.random.fold_in(layer_key, 0x4C44)
                 skip = jax.random.bernoulli(k_ld, arch.layerdrop)
-            r = RngStream(key) if key is not None else None
-            y = encoder_layer(lp, arch, h, rngs=r,
-                              deterministic=deterministic, mesh=None)
+            y = _pp_body(lp, h, key)
             return jnp.where(skip, h, y) if skip is not None else y
 
         x = pp.gpipe_apply(pp_layer, params["layers"], x, mesh,

@@ -139,14 +139,18 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
     the data-axis size. Returns ``[B, T, H]``, replicated over ``stage``.
 
     ``rng``: a PRNG key enabling stochastic layers (dropout) under the
-    tick scan — training mode. When given, ``layer_fn`` is called with a
-    fifth argument, a key unique per (layer, microbatch):
-    ``fold_in(fold_in(rng, global_layer_index), microbatch_index)``. The
-    masks are i.i.d. but deliberately NOT the sequential loop's split
-    sequence (a pipelined schedule has no global pop order). The whole
-    schedule is differentiable — scan/ppermute/psum/dynamic-slice all have
-    transposes, and the warmup/drain garbage ticks receive zero cotangents
-    (their results never reach the output).
+    tick scan — training mode. When given, ``layer_fn`` is called with two
+    extra arguments ``(key, layer_key)``: ``layer_key =
+    fold_in(rng, global_layer_index)`` is identical for every microbatch
+    of a layer (whole-batch decisions like LayerDrop draw from it, so one
+    optimizer step skips a layer for ALL samples or none — HF semantics),
+    and ``key = fold_in(layer_key, microbatch_index)`` is unique per
+    (layer, microbatch) for per-element dropout masks. The masks are
+    i.i.d. but deliberately NOT the sequential loop's split sequence (a
+    pipelined schedule has no global pop order). The whole schedule is
+    differentiable — scan/ppermute/psum/dynamic-slice all have
+    transposes, and the warmup/drain garbage ticks receive zero
+    cotangents (their results never reach the output).
     """
     shape = dict(mesh.shape)
     S = shape["stage"]
@@ -186,9 +190,9 @@ def gpipe_apply(layer_fn: Callable, stacked, x: jnp.ndarray,
             def body(h, layer_i):
                 lp, li = layer_i
                 if key is not None:
-                    k = jax.random.fold_in(
-                        jax.random.fold_in(key, idx * lps + li), mb_idx)
-                    return layer_fn(lp, h, rows_t, shr, k), None
+                    lk = jax.random.fold_in(key, idx * lps + li)
+                    return layer_fn(lp, h, rows_t, shr,
+                                    jax.random.fold_in(lk, mb_idx), lk), None
                 return layer_fn(lp, h, rows_t, shr), None
             h, _ = jax.lax.scan(body, h,
                                 (local_layers, jnp.arange(lps)))
