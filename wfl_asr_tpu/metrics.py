@@ -44,16 +44,16 @@ def phoneme_error_rate(pred_segments: Sequence[Segment],
     pred = np.array([vocab[p] for p in pred_seq])
 
     prev = np.arange(n + 1)
+    offs = np.arange(n + 1)
     for i in range(1, m + 1):
-        cur = np.empty(n + 1, dtype=np.int64)
-        cur[0] = i
         sub = prev[:-1] + (pred != gt[i - 1])
         dele = prev[1:] + 1
         best = np.minimum(sub, dele)
-        # insertion needs a left-to-right scan; do it with a running min trick
-        for j in range(1, n + 1):
-            cur[j] = min(best[j - 1], cur[j - 1] + 1)
-        prev = cur
+        # insertion is a left-to-right running min:
+        #   cur[j] = min_{k<=j}(best_k + (j-k))  with best_0 = i
+        #          = j + cummin(best_k - k)
+        b = np.concatenate(([i], best)) - offs
+        prev = np.minimum.accumulate(b) + offs
     return float(prev[n]) / m
 
 
@@ -64,15 +64,21 @@ def timing_error_rate(pred_segments: Sequence[Segment],
     with the same cleaned phoneme is matched; errors averaged as
     mean(start_err + end_err) / 2, normalized by mean matched GT duration;
     0.0 when nothing matches."""
+    # First prediction per cleaned phoneme, precomputed once: the inner
+    # scan always matches the FIRST same-phoneme prediction regardless of
+    # the GT segment's position (reference train.py:134-141), so the
+    # quadratic segment×segment loop collapses to one dict build + lookups.
+    first_pred = {}
+    for pred_start, pred_end, pred_ph in pred_segments:
+        first_pred.setdefault(clean_lab(pred_ph), (pred_start, pred_end))
     matched_errors: List[float] = []
     gt_durations: List[float] = []
     for gt_start, gt_end, gt_ph in gt_segments:
-        for pred_start, pred_end, pred_ph in pred_segments:
-            if clean_lab(pred_ph) == clean_lab(gt_ph):
-                matched_errors.append(abs(gt_start - pred_start)
-                                      + abs(gt_end - pred_end))
-                gt_durations.append(gt_end - gt_start)
-                break
+        hit = first_pred.get(clean_lab(gt_ph))
+        if hit is not None:
+            matched_errors.append(abs(gt_start - hit[0])
+                                  + abs(gt_end - hit[1]))
+            gt_durations.append(gt_end - gt_start)
     if not matched_errors:
         return 0.0
     avg_timing_error = float(np.mean(matched_errors)) / 2
