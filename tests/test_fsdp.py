@@ -210,3 +210,108 @@ def test_fsdp_rejects_model_parallel(tmp_path):
     run_preprocess(data_dir, config)
     with pytest.raises(ValueError, match="fsdp"):
         train(os.path.join(save_dir, "config.yaml"))
+
+
+def test_train_driver_fsdp_with_grad_accumulation(tmp_path, monkeypatch):
+    """FSDP composes with grad_accumulation: micro-batch grads go through
+    make_grad_step's reduce-scatter constraint, the f32 accumulator stays
+    sharded like the params, and one optimizer update lands per N micros."""
+    import json as _json
+    import random as pyrandom
+
+    from tests.test_preprocess import make_config, make_fixture_dataset
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    import wfl_asr_tpu.parallel.fsdp as fsdp_mod
+    from wfl_asr_tpu.train.loop import train
+
+    monkeypatch.setattr(fsdp_mod, "MIN_SHARD_SIZE", 64)
+
+    rng = pyrandom.Random(31)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=10)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "none", "enable_bilstm": False,
+        "num_conformer_layers": 1, "conformer_heads": 2,
+        "conformer_ff_expansion": 2, "conformer_kernel_size": 31,
+        "lang_emb_dim": 8,
+    })
+    config["training"].update({
+        "batch_size": 8, "optimizer": "AdamW", "learning_rate": 1e-3,
+        "scheduler": "ConstantLR", "label_smoothing": 0.1,
+        "max_steps": 2, "val_check_interval": 2, "max_checkpoints": 1,
+        "seed": 0, "fsdp": True, "grad_accumulation": 2,
+    })
+    run_preprocess(data_dir, config)
+    train(os.path.join(save_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(save_dir, "best_model.pt"))
+    events = [_json.loads(l) for l in
+              open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert [e["step"] for e in events if e["event"] == "train"] == [1, 2]
+
+
+def test_fsdp_composes_with_remat():
+    """FSDP placement + training.remat on the tiny WavLM: one train step
+    matches the replicated non-remat step (remat is numerics-neutral and
+    the sharding constraint only relocates bytes)."""
+    import optax
+
+    from wfl_asr_tpu.models.tagger import init_tagger
+    from wfl_asr_tpu.train.loop import make_train_step
+    from wfl_asr_tpu.train.prodigy import prodigy
+
+    arch = _tiny_arch()
+    params, model_state = init_tagger(jax.random.PRNGKey(0), arch)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: prodigy(learning_rate=learning_rate))(
+        learning_rate=1.0)
+
+    rng = np.random.RandomState(4)
+    b, s, t = 8, 4000, 12
+    host = {
+        "audio": (rng.randn(b, s) * 0.1).astype(np.float32),
+        "labels": rng.randint(0, arch.num_labels,
+                              size=(b, t)).astype(np.int64),
+        "lang_ids": rng.randint(0, 2, size=b).astype(np.int32),
+        "off_frames": rng.randint(0, t, size=(b, 8)).astype(np.int32),
+        "off_channels": rng.randint(0, 2, size=(b, 8)).astype(np.int32),
+        "off_fracs": rng.rand(b, 8).astype(np.float32),
+        "off_valid": np.ones((b, 8), bool),
+    }
+    step_rng = jax.random.PRNGKey(7)
+    mesh = make_mesh()
+
+    def run(use_fsdp, remat):
+        host_copy = lambda tree: jax.tree_util.tree_map(
+            lambda x: np.array(x), tree)
+        p0 = host_copy(params)
+        opt0 = tx.init(p0)
+        if use_fsdp:
+            p = shard_params_fsdp(p0, mesh, min_size=64)
+            os_ = shard_params_fsdp(opt0, mesh, min_size=64)
+            shardings = fsdp_shardings(p0, mesh, min_size=64)
+        else:
+            p = replicate(p0, mesh)
+            os_ = replicate(opt0, mesh)
+            shardings = None
+        ms = replicate(host_copy(model_state), mesh)
+        arrays = {k: jax.device_put(jnp.asarray(v),
+                                    batch_sharding(mesh, np.ndim(v)))
+                  for k, v in host.items()}
+        step = make_train_step(arch, 0.1, 3.0, tx, mesh=mesh, remat=remat,
+                               param_shardings=shardings)
+        out = step(p, ms, os_, step_rng,
+                   arrays["audio"], arrays["labels"], arrays["lang_ids"],
+                   arrays["off_frames"], arrays["off_channels"],
+                   arrays["off_fracs"], arrays["off_valid"],
+                   max_label_len=t)
+        _, _, _, metrics, _, _ = out
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_ref = run(False, False)
+    m_fs = run(True, True)
+    for k in m_ref:
+        np.testing.assert_allclose(m_fs[k], m_ref[k], rtol=1e-5,
+                                   err_msg=k)
