@@ -79,7 +79,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
     # q_ref: [1,1,BLOCK_Q,D]; k_ref/v_ref: [1,1,T_pad,D];
     # bias_ref: [1,BLOCK_Q,T_pad]; gate_ref: [1,1,BLOCK_Q,1];
     # kvlen_ref: [1,1,1] (SMEM); o_ref: [1,1,BLOCK_Q,D];
-    # maybe_lse_ref: ([1,1,BLOCK_Q,1],) when the caller wants the logsumexp.
+    # maybe_lse_ref: ([1,1,BLOCK_Q,128],) when the caller wants the
+    # logsumexp — lane-BROADCAST (every lane equal), the same convention as
+    # jax.experimental.pallas.ops.tpu.flash_attention. The wrapper slices
+    # lane 0 so the fwd→bwd residual is a compact [B,H,T] f32 array: a
+    # trailing dim of 1 would be physically padded to the 128-lane tile in
+    # HBM (128× memory), and with one lse per layer held until the
+    # backward that padding OOM'd wavlm-large training (B=4×30 s, r4 log
+    # docs/TPU_RUNS_r04.log).
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
 
@@ -126,7 +133,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
 
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if maybe_lse_ref:
-        maybe_lse_ref[0][0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))           # [BQ, 1]
+        maybe_lse_ref[0][0, 0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 def _prep_inputs(q, k, v, bias, gate, kv_len, block_q, block_k):
@@ -187,11 +195,11 @@ def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
     out_shape = jax.ShapeDtypeStruct((b, h, t_pad, d), out_dtype)
     if want_lse:
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1, block_q, 1),
+                     pl.BlockSpec((1, 1, block_q, 128),
                                   lambda hi, qi, bi: (bi, hi, qi, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((b, h, t_pad, 1), jnp.float32))
+                     jax.ShapeDtypeStruct((b, h, t_pad, 128), jnp.float32))
 
     res = pl.pallas_call(
         kernel,
@@ -225,7 +233,8 @@ def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
 
     if want_lse:
         out, lse = res
-        return out[:, :, :t, :], lse
+        # lane 0 of the broadcast block → compact [B,H,t] residual
+        return out[:, :, :t, :], lse[:, :, :t, 0]
     return res[:, :, :t, :], None
 
 
@@ -239,7 +248,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
                      has_bias: bool, has_gate: bool):
     # grid (h, k, b) — batch innermost so the bias block stays resident.
     # q/do: [1,1,T_pad,D]; k/v: [1,1,BLOCK_K,D]; bias: [1,T_pad,BLOCK_K];
-    # gate: [1,1,T_pad,1]; lse/delta: [1,1,T_pad,1].
+    # gate: [1,1,T_pad,1]; lse: [1,1,T_pad,128] lane-broadcast (see
+    # _flash_kernel); delta: [1,1,T_pad,1].
     block_k, d = k_ref.shape[2], k_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
     kb_start = pl.program_id(1) * block_k
@@ -254,8 +264,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
         q_start = pl.multiple_of(i * block_q, block_q)
         q_blk = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]       # [BQ, 1]
-        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]       # [BQ, 128]
+        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]   # [BQ, 1]
 
         s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
                                 (((1,), (1,)), ((), ())),
@@ -273,7 +283,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
         # column's raw score can satisfy s - lse > 88, and exp→inf times
         # a 0 mask is NaN — which would poison every gradient.
         s = jnp.where(k_valid > 0, s, NEG_INF)
-        p = jnp.exp(s - lse)                                  # [BQ, BK]
+        p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))   # [BQ, BK]
         dv_acc = dv_acc + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -299,14 +309,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
                    has_bias: bool, has_gate: bool):
     # grid (h, q, b), batch innermost. q/do/dq: [1,1,BLOCK_Q,D];
     # k/v: [1,1,T_pad,D]; bias/dbias: [1,BLOCK_Q,T_pad] (dbias revisited —
-    # accumulated across the b axis); gate/dgate: [1,1,BLOCK_Q,1].
+    # accumulated across the b axis); gate/dgate: [1,1,BLOCK_Q,1];
+    # lse: [1,1,BLOCK_Q,128] lane-broadcast (see _flash_kernel).
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
     bi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]       # [BLOCK_Q, 1]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0]       # [BLOCK_Q, 128]
+    delta = delta_ref[0, 0]   # [BLOCK_Q, 1]
     if has_gate:
         gate = gate_ref[0, 0].astype(jnp.float32)             # [BQ, 1]
 
@@ -326,7 +337,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
             jnp.int32, (block_q, block_k), 1)
         # mask before exp — see _bwd_dkdv_kernel
         s = jnp.where(k_idx < kv_len, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds_raw = p * (dp - delta)                             # dS (unscaled)
@@ -355,15 +366,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
 
 
 def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
-    # ``lse`` arrives at length t (sliced by the caller) and is re-padded
-    # here: zero-padding is inert because padded rows have q=0/gate=0 →
-    # s=0 → p=exp(0-0)=1, multiplied by dO=0 everywhere.
+    # ``lse`` arrives as the compact [B,H,t] residual (see _flash_kernel's
+    # lse note) and is re-padded and lane-broadcast back to the kernels'
+    # [B,H,T_pad,128] convention here — a transient, freed per layer, so
+    # the broadcast costs no held memory. Zero-padding is inert because
+    # padded rows have q=0/gate=0 → s=0 → p=exp(0-0)=1, multiplied by
+    # dO=0 everywhere.
     b, h, t, d = q.shape
     has_bias, has_gate = bias is not None, gate is not None
     qp, kp, vp, bias_p, gate_p, kv_arr, t_pad = _prep_inputs(
         q, k, v, bias, gate, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
-    lse = jnp.pad(lse, pad)
+    lse = jax.lax.broadcast_in_dim(jnp.pad(lse, pad[:3]),
+                                   (b, h, t_pad, 128), (0, 1, 2))
     do = jnp.pad(g, pad)
     op = jnp.pad(out, pad)
     # delta = rowsum(dO · O), kept 4-D [B,H,T,1] for TPU block tiling.
@@ -407,7 +422,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
             gate_spec_full(),
             pl.BlockSpec((1, 1, t_pad, d), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, ki, bi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, 128),  # lse, lane-broadcast
+                         lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, 1), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -471,7 +487,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
             gate_spec_qblocked(),
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda hi, qi, bi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, 128),  # lse, lane-broadcast
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, 1), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -540,7 +557,7 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
     block_q = divisor_block(min(block_q, bq_cap), 8, t_pad)
     block_k = divisor_block(min(block_k, bk_cap), 128, t_pad)
     dq, dk, dv, dbias, dgate = _bwd_impl(
-        q, k, v, bias, gate, kv_len, out, lse[:, :, :t], g,
+        q, k, v, bias, gate, kv_len, out, lse, g,
         block_q, block_k)
     return dq, dk, dv, dbias, dgate, None
 

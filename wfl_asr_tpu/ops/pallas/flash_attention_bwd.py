@@ -78,7 +78,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
     m, l, acc = jax.lax.fori_loop(0, t_pad // block_k, body, (m0, l0, acc0))
 
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))   # [BLOCK_Q, 1]
+    # lane-broadcast [BQ,128] write; the wrapper slices lane 0 so the
+    # fwd→bwd residual is a compact [B,H,T] (a trailing dim of 1 would be
+    # padded to the 128-lane tile in HBM — 128× memory held per layer;
+    # see flash_attention._flash_kernel's lse note).
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))             # [BLOCK_Q, 1]
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -102,8 +107,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_start = pl.multiple_of(i * block_q, block_q)
         q_blk = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]     # [BQ, 1]
-        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(q_start, block_q), :]     # [BQ, 128]
+        delta = delta_ref[0, 0, pl.ds(q_start, block_q), :]  # [BQ, 1]
 
         s = jax.lax.dot_general(q_blk * sm_scale, k_blk,
                                 (((1,), (1,)), ((), ())),
@@ -112,7 +117,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # column's raw score can satisfy s - lse > 88, and exp→inf times
         # a 0 mask is NaN — which would poison every gradient.
         s = jnp.where(k_valid > 0, s, NEG_INF)
-        p = jnp.exp(s - lse)                                  # [BQ, BK]
+        p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))   # [BQ, BK]
         dv_acc = dv_acc + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -138,8 +143,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     kv_len = kvlen_ref[0, 0, 0]
     q = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]       # [BLOCK_Q, 1]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0]       # [BLOCK_Q, 128] lane-broadcast
+    delta = delta_ref[0, 0]   # [BLOCK_Q, 1]
 
     def body(i, dq_acc):
         k_start = pl.multiple_of(i * block_k, block_k)
@@ -152,7 +157,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             jnp.int32, (block_q, block_k), 1)
         # mask before exp — see _bwd_dkdv_kernel
         s = jnp.where(k_idx < kv_len, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * sm_scale
@@ -208,15 +213,15 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, 1, block_q, 128),
                          lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, t_pad, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, h, t_pad, 128), jnp.float32)),
         interpret=_interpret(),
     )(qp, kp, vp, kv_arr)
-    return out[:, :, :t], lse
+    return out[:, :, :t], lse[:, :, :t, 0]
 
 
 def flash_attention_trainable(q, k, v, kv_len=None,
@@ -296,7 +301,11 @@ def _vjp_bwd(block_q, block_k, residuals, g):
         block_k = divisor_block(min(block_k, bk_cap), 128, t_pad128)
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
-    lse = jnp.pad(lse[:, :, :t], pad)
+    # lse arrives as the compact [B,H,t] residual; re-pad and lane-broadcast
+    # back to the kernels' [B,H,T_pad,128] convention (transient only).
+    lse = jax.lax.broadcast_in_dim(jnp.pad(lse, pad[:3]),
+                                   (q.shape[0], q.shape[1], t_pad, 128),
+                                   (0, 1, 2))
     do = jnp.pad(g, pad)
     op = jnp.pad(out, pad)
     # delta = rowsum(dO * O), kept 4-D [B,H,T,1] for TPU block tiling
@@ -318,7 +327,8 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad, 128),  # lse, lane-broadcast
+                         lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad, 1), lambda hi, bi, ki: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -350,7 +360,7 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, 1, block_q, 128),  # lse, lane-broadcast
                          lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, 1),
