@@ -210,6 +210,33 @@ def fused_conv_chain(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                             batch_block)
 
 
+VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _vmem_bytes(nb: int, packed: bool, main_rows: int, halo_rows: int,
+                tile_out: int, c: int, ks, t_outs, esize: int,
+                has_norm: bool) -> int:
+    """Trace-time estimate of one invocation's scoped-VMEM footprint.
+
+    Calibrated against the round-4 Mosaic measurements at B=16×30 s
+    (docs/TPU_RUNS_r04.log): seq nb=1/nb=2 compile, seq nb=4 overflows at
+    16.10 MB, packed nb=2 at 25.27 MB — this model classifies all four
+    correctly at the 16 MB budget. Streams are counted single-buffered
+    (matches the measurements better than ×2; the halo aliases the input
+    array). In the sequential kernel the per-row intermediates are reused
+    across the unrolled batch loop, so they don't scale with nb; in the
+    packed kernel everything carries the nb leading dim.
+    """
+    nb_eff = nb if packed else 1
+    streams = nb * (main_rows + halo_rows + tile_out) * c * esize
+    weights = sum(3 * c * c if k == 3 else 2 * c * c for k in ks) * esize
+    xf = nb_eff * (main_rows + halo_rows) * c * 4 if has_norm else 0
+    cur = 2 * nb_eff * (main_rows + halo_rows) * c * esize
+    scratch = max((3 if k == 3 else 2) * nb_eff * (t_o + 1) * c * 4
+                  for k, t_o in zip(ks, t_outs))
+    return streams + weights + xf + cur + scratch
+
+
 def _fused_conv_impl(x, weights, input_norm, tile_out: int,
                      batch_block: int = 1) -> jnp.ndarray:
     b, t_in, c = x.shape
@@ -254,6 +281,24 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int,
         halo_index = lambda bi, ti: (bi, ti + 1, 0)
     if need > main_rows + halo_rows:
         raise ValueError("tile receptive field exceeds main+halo rows")
+
+    # VMEM guard: shrink nb (and drop the packed kernel at nb=1) instead of
+    # letting Mosaic die on scoped-VMEM overflow — WFL_CONV_BB/_PACKED are
+    # sweep knobs and must never brick a run (VERDICT r4 weak #1).
+    esize = jnp.dtype(x.dtype).itemsize
+    nb_req = nb
+    packed = PACKED and nb > 1
+    while nb > 1 and _vmem_bytes(nb, packed, main_rows, halo_rows, tile_out,
+                                 c, ks, t_outs, esize, input_norm is not None
+                                 ) > VMEM_BUDGET:
+        nb -= 1
+        while b % nb:
+            nb -= 1
+        if nb == 1:
+            packed = False
+    if nb < nb_req:
+        print(f"wfl conv_fused: clamped batch_block {nb_req} -> {nb} "
+              f"(packed={packed}) to fit the ~16 MB VMEM budget", flush=True)
 
     n_tiles = -(-t_true // tile_out)
     rows_padded = n_tiles * main_rows + halo_rows
@@ -301,7 +346,7 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int,
                      memory_space=pltpu.VMEM),               # bias [1,1,C]
     ]
 
-    kernel_fn = _kernel_packed if (PACKED and nb > 1) else _kernel
+    kernel_fn = _kernel_packed if packed else _kernel
     kernel = functools.partial(kernel_fn, ks=tuple(ks), t_outs=tuple(t_outs),
                                c=c, has_norm=has_norm)
 
