@@ -208,7 +208,8 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
                     conv_kernel: int, drop_rate: float, rngs,
                     deterministic: bool, train: bool,
                     mask: Optional[jnp.ndarray] = None,
-                    use_flash: bool = False, mesh=None):
+                    use_flash: bool = False, mesh=None,
+                    strict_attn_dropout: bool = False):
     """Macaron FF halves, post-LN MHSA, conv module with **full** k-wide conv
     + BatchNorm, no final LayerNorm (reference model.py:40-52). Returns
     (y, new_state).
@@ -232,22 +233,35 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
     # where the T² score traffic dominates; bf16 always — measured to hold
     # for bf16 *training* at short T too (flash 169.0 vs XLA 176.9 ms at
     # B=16×10 s, docs/PERFORMANCE.md). Static per trace.
+    # First dropout key popped up front; the optional strict attention-prob
+    # dropout key is DERIVED via fold_in so the pops-per-block count stays
+    # unchanged (bit-identical key stream when the flag is off).
+    k_hidden = rngs.pop() if not deterministic else None
+    attn_rng = (jax.random.fold_in(k_hidden, 1)
+                if (not deterministic and strict_attn_dropout
+                    and drop_rate > 0.0) else None)
     from .wavlm import FLASH_MIN_T
-    if use_flash and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T):
+    if attn_rng is None and use_flash and (x.dtype == jnp.bfloat16
+                                           or t >= FLASH_MIN_T):
         # differentiable Pallas kernel — used in training and inference
         from ..ops.pallas.flash_attention_bwd import flash_attention_trainable
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
         attn = flash_attention_trainable(q, k, v, kv_len, mesh=mesh)
     else:
-        attn = attention_core(q, k, v, mask=mask)
+        attn = attention_core(q, k, v, mask=mask, dropout_rng=attn_rng,
+                              dropout_rate=drop_rate)
     attn = linear(params["attn_out"],
                   attn.transpose(0, 2, 1, 3).reshape(b, t, dim))
-    # torch MultiheadAttention applies dropout to attention *weights*; with
-    # the reference's eval/infer paths that dropout is inactive, and in
-    # training we apply it post-projection (an equivalent regularizer).
-    if not deterministic:
-        attn = dropout(rngs.pop(), attn, drop_rate, False)
+    # torch MultiheadAttention applies dropout to attention *weights* and
+    # the reference block adds NO dropout after it (model.py:29-31, 41-42);
+    # by default we substitute an equivalent post-projection dropout (the
+    # flash kernel permits no prob-level drop). Under
+    # training.strict_attention_dropout the exact prob-level dropout ran on
+    # the XLA path above INSTEAD — the substitute is skipped, matching the
+    # reference block exactly.
+    if not deterministic and attn_rng is None:
+        attn = dropout(k_hidden, attn, drop_rate, False)
     x = layer_norm(params["ln1"], x + attn)
 
     h = layer_norm(params["ln2"], x)

@@ -277,12 +277,23 @@ class KeyListStream:
 
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None,
-                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   mask: Optional[jnp.ndarray] = None,
+                   dropout_rng=None,
+                   dropout_rate: float = 0.0) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     q,k,v: [B, H, T, D]; bias: broadcastable to [B, H, T, T]; mask: [B, T]
     (True = attend) applied as key-padding mask. Softmax in f32.
     Returns [B, H, T, D].
+
+    dropout_rng/dropout_rate: attention-PROBABILITY dropout with torch
+    semantics (inverted dropout on the softmax output, rows NOT
+    renormalized) — what HF WavLM's ``attention_dropout`` and
+    ``nn.MultiheadAttention(dropout=...)`` apply during training
+    (reference model.py:29-31). Active only when a key is passed; the
+    strict-parity training path (training.strict_attention_dropout) uses
+    this, the fused flash kernels cannot (dropout inside the online
+    softmax would break the two-pass backward recomputation).
     """
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -293,5 +304,7 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :], logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        probs = dropout(dropout_rng, probs, dropout_rate, False)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)

@@ -102,6 +102,12 @@ class TaggerArch:
     dilated_kernel: int = 3
     freeze_encoder: bool = False
     use_flash_attention: bool = False   # Pallas attention in Conformer blocks
+    # training.strict_attention_dropout: apply true attention-probability
+    # dropout (exact reference semantics — HF WavLM attention_dropout and
+    # torch MultiheadAttention(dropout=...)) on the XLA attention path
+    # during training, instead of the default post-projection substitute
+    # the flash kernels require. Inference is unaffected.
+    strict_attention_dropout: bool = False
     sample_rate: int = 16000
     frame_duration: float = 0.02
     n_mels: int = 80
@@ -114,6 +120,8 @@ class TaggerArch:
         reference model.py:57-142 ``.get`` sites)."""
         enc = cfg.encoder_type
         wavlm = whisper = None
+        strict_attn = bool(cfg.raw.get("training", {})
+                           .get("strict_attention_dropout", False))
         # Optional overrides of the named preset's architecture fields
         # (e.g. custom dims for experimentation or tiny test models).
         overrides = cfg.raw.get("model", {}).get("encoder_arch_overrides") or {}
@@ -150,6 +158,8 @@ class TaggerArch:
                 overrides = {k: tuple(v) if isinstance(v, list) else v
                              for k, v in overrides.items()}
                 wavlm = replace(wavlm, **overrides)
+            if strict_attn:
+                wavlm = replace(wavlm, strict_attention_dropout=True)
             hidden = wavlm.hidden_size
         elif enc in ("none", "null"):
             enc = "none"
@@ -172,6 +182,7 @@ class TaggerArch:
             dilated_depth=cfg.dilated_conv_depth,
             dilated_kernel=cfg.dilated_conv_kernel,
             freeze_encoder=cfg.freeze_encoder,
+            strict_attention_dropout=strict_attn,
             sample_rate=cfg.sample_rate, frame_duration=cfg.frame_duration,
             n_mels=cfg.n_mels, wavlm=wavlm, whisper=whisper,
         )
@@ -333,7 +344,9 @@ def apply_tagger(params, state, arch: TaggerArch, audio: jnp.ndarray,
                                     deterministic=deterministic, train=train,
                                     mask=frame_mask,
                                     use_flash=arch.use_flash_attention,
-                                    mesh=mesh)
+                                    mesh=mesh,
+                                    strict_attn_dropout=
+                                    arch.strict_attention_dropout)
         new_conformer_states.append(ns)
 
     if arch.enable_dilated_conv:

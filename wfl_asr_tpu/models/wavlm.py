@@ -68,12 +68,15 @@ class WavLMArch:
     layer_norm_eps: float = 1e-5
     hidden_dropout: float = 0.1
     activation_dropout: float = 0.0
-    # NOTE: attention-PROB dropout is not applied in this implementation
-    # (the Pallas flash path cannot drop inside the fused softmax); the
-    # post-projection hidden_dropout is the equivalent regularizer — the
-    # same policy the conformer heads document (heads.py). The field is
-    # kept so HF configs round-trip.
+    # NOTE: by default attention-PROB dropout is not applied (the Pallas
+    # flash path cannot drop inside the fused softmax); the post-projection
+    # hidden_dropout is the substituted regularizer — the same policy the
+    # conformer heads document (heads.py). Set strict_attention_dropout to
+    # force the XLA attention path during training and apply true
+    # probability dropout at this rate (exact HF WavLM semantics,
+    # reference model.py:72-81); inference keeps the flash path either way.
     attention_dropout: float = 0.0
+    strict_attention_dropout: bool = False
     feat_proj_dropout: float = 0.0
     # LayerDrop (Fan et al. 2019): during training each transformer layer
     # is skipped with this probability (whole-batch decision, matching HF
@@ -370,9 +373,14 @@ def _gated_bias(layer, arch: WavLMArch, x: jnp.ndarray,
 
 
 def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
-            mask: Optional[jnp.ndarray], mesh=None) -> jnp.ndarray:
+            mask: Optional[jnp.ndarray], mesh=None,
+            attn_rng=None) -> jnp.ndarray:
     """Gated-relative-bias attention: Pallas flash path (streams the shared
-    [H,T,T] bias from HBM, no [B,H,T,T] materialization) or the XLA path."""
+    [H,T,T] bias from HBM, no [B,H,T,T] materialization) or the XLA path.
+
+    ``attn_rng``: non-None only under training.strict_attention_dropout —
+    forces the XLA path and applies attention-probability dropout there
+    (exact reference semantics; see WavLMArch.attention_dropout note)."""
     b, t, H = x.shape
     heads = arch.num_heads
     d = H // heads
@@ -393,8 +401,8 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
     # (measured: B=16×10 s train step 284 ms XLA vs 313 ms flash). bf16
     # inference keeps flash at every length (1341→1959 RTFx at T=1499).
     # t and dtype are static per trace: a compile-time branch.
-    if arch.use_flash_attention and (x.dtype == jnp.bfloat16
-                                     or t >= FLASH_MIN_T):
+    if (attn_rng is None and arch.use_flash_attention
+            and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T)):
         from ..ops.pallas.flash_attention import flash_attention
         gate = _gate_values(layer, arch, x)
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
@@ -403,7 +411,9 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
                                kv_len=kv_len, mesh=mesh)
     else:
         gated = _gated_bias(layer, arch, x, pos_bias)
-        attn = attention_core(q, k, v, bias=gated, mask=mask)
+        attn = attention_core(q, k, v, bias=gated, mask=mask,
+                              dropout_rng=attn_rng,
+                              dropout_rate=arch.attention_dropout)
     return linear(layer["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, H))
 
 
@@ -412,10 +422,19 @@ def encoder_layer(layer, arch: WavLMArch, x: jnp.ndarray,
                   mask: Optional[jnp.ndarray] = None,
                   rngs=None, deterministic: bool = True,
                   mesh=None) -> jnp.ndarray:
-    attn = _attend(layer, arch, x, pos_bias, mask, mesh=mesh)
+    # The first hidden-dropout key is popped up front (same key, same pop
+    # order — bit-identical stream); the optional strict attention-dropout
+    # key is DERIVED from it via fold_in so the pops-per-layer contract
+    # (exactly 3, relied on by remat/PP key pre-popping) is unchanged.
+    k_hidden = rngs.pop() if not deterministic else None
+    attn_rng = (jax.random.fold_in(k_hidden, 1)
+                if (not deterministic and arch.strict_attention_dropout
+                    and arch.attention_dropout > 0.0) else None)
+    attn = _attend(layer, arch, x, pos_bias, mask, mesh=mesh,
+                   attn_rng=attn_rng)
 
     if not deterministic:
-        attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
+        attn = dropout(k_hidden, attn, arch.hidden_dropout, False)
     x = x + attn
 
     # post-LN flavor only (wavlm-base); pre-LN (wavlm-large) is dispatched
@@ -442,9 +461,15 @@ def encoder_layer_stable_ln(layer, arch: WavLMArch, x: jnp.ndarray,
     """Pre-LN layer flavor (``do_stable_layer_norm=True``, wavlm-large)."""
     residual = x
     xn = layer_norm(layer["attn_ln"], x, arch.layer_norm_eps)
-    attn = _attend(layer, arch, xn, pos_bias, mask, mesh=mesh)
+    # pop-order / fold_in scheme: see encoder_layer
+    k_hidden = rngs.pop() if not deterministic else None
+    attn_rng = (jax.random.fold_in(k_hidden, 1)
+                if (not deterministic and arch.strict_attention_dropout
+                    and arch.attention_dropout > 0.0) else None)
+    attn = _attend(layer, arch, xn, pos_bias, mask, mesh=mesh,
+                   attn_rng=attn_rng)
     if not deterministic:
-        attn = dropout(rngs.pop(), attn, arch.hidden_dropout, False)
+        attn = dropout(k_hidden, attn, arch.hidden_dropout, False)
     x = residual + attn
 
     h = layer_norm(layer["final_ln"], x, arch.layer_norm_eps)
