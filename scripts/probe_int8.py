@@ -13,7 +13,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# repo root relative to this file (worktree-safe for A/B runs)
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 M, K, N = 8 * 1499, 768, 3072
 K1, K2 = 8, 40
@@ -23,6 +25,11 @@ REPS = 5
 def bench(make_args, op, label):
     def many(k):
         args = [make_args(i) for i in range(k)]
+        # Guard against the r4 failure mode: identical buffers reused for
+        # every copy let the compiler/runtime collapse the K copies, making
+        # t(K) flat and the K-difference pure noise (negative ms resulted).
+        ids = {id(a[0]) for a in args}
+        assert len(ids) == k, f"{label}: copies must be distinct buffers"
 
         @jax.jit
         def f(args):
@@ -36,10 +43,17 @@ def bench(make_args, op, label):
             out = f(args)
             np.asarray(out[-1]).ravel()[:1]
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.median(ts)), ts
 
-    t1, t2 = many(K1), many(K2)
+    (t1, raw1), (t2, raw2) = many(K1), many(K2)
     per = (t2 - t1) / (K2 - K1) * 1e3
+    print(f"  t(K={K1})={t1 * 1e3:.1f} ms {np.round(np.array(raw1) * 1e3, 1)}"
+          f"   t(K={K2})={t2 * 1e3:.1f} ms {np.round(np.array(raw2) * 1e3, 1)}",
+          flush=True)
+    if per <= 0 or t2 <= t1:
+        print(f"{label}: UNRELIABLE (t(K={K2}) <= t(K={K1}); relay noise or "
+              "collapsed copies) — rerun", flush=True)
+        return float("nan")
     print(f"{label}: {per:.3f} ms per matmul "
           f"({2 * M * K * N / (per / 1e3) / 1e12:.1f} TOP/s)", flush=True)
     return per
@@ -73,7 +87,9 @@ def mm_i8_dyn(a, b):
 
 
 t_bf = bench(lambda i: (a_bf + i, b_bf), mm_bf, "bf16xbf16->f32")
-t_i8 = bench(lambda i: (a_i8, b_i8), mm_i8, "int8xint8->int32")
+# distinct int8 activation buffer per copy (weights shared, like serving)
+t_i8 = bench(lambda i: (jnp.roll(a_i8, i + 1, axis=0), b_i8), mm_i8,
+             "int8xint8->int32")
 t_dyn = bench(lambda i: (a_bf + i, b_i8), mm_i8_dyn,
               "bf16 dyn-quant + int8 matmul + rescale")
 print(f"speedup raw: {t_bf / t_i8:.2f}x   end-to-end: {t_bf / t_dyn:.2f}x",

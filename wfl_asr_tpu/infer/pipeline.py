@@ -143,6 +143,11 @@ class InferenceSession:
             # W8A8-dynamic int8 on the encoder's large linears (the
             # dominant serving FLOPs). layers.linear dispatches on the
             # quantized param form; everything else is unchanged.
+            # MEASURED NULL on v5e at WavLM-base serving shapes: bench A/B
+            # 3176.4 int8 vs 3171.6 bf16 (+0.15%, inside relay noise —
+            # docs/TPU_RUNS_r04.log); the mode stays for experimentation
+            # and halved checkpoint-transfer size, not for speed. Gate any
+            # retuning on scripts/probe_int8.py first.
             from ..models.layers import quantize_tree_int8
             params = dict(params)
             params["encoder"] = quantize_tree_int8(params["encoder"])
