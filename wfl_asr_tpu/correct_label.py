@@ -171,43 +171,44 @@ def visualize_audio_features(wav_path, y, sr, predicted_boundaries, flux,
                              delta_mag, flux_times, snapped_boundaries=None,
                              original_boundaries=None,
                              save_path: str = "features_plot.png") -> None:
-    """Diagnostic PNG for a snap run (same role as the reference's
-    ``--save_plot`` output, correct_label.py:107-138, independently laid
-    out): one waveform panel carrying before/after boundaries on opposite
-    half-planes, and one detector panel with the fused novelty curve and
-    the candidate peaks each label snapped to."""
+    """Diagnostic PNG for a snap run — the reference's 3-panel layout
+    (correct_label.py:107-138): waveform with the ORIGINAL label
+    boundaries on top, the spectral-flux / MFCC-delta detector curves with
+    the candidate peaks in the middle, and the waveform again with the
+    SNAPPED (corrected) boundaries at the bottom."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     t = np.arange(len(y)) / sr
     amp = float(np.max(np.abs(y))) or 1.0
-    fig, (ax_wave, ax_det) = plt.subplots(
-        2, 1, figsize=(12, 6), sharex=True,
-        gridspec_kw={"height_ratios": [2, 1]})
+    fig, (ax_orig, ax_det, ax_snap) = plt.subplots(
+        3, 1, figsize=(14, 9), sharex=True)
     fig.suptitle(os.path.basename(wav_path))
 
-    ax_wave.plot(t, y, color="0.75", linewidth=0.5, zorder=1)
-    ax_wave.axhline(0.0, color="0.9", linewidth=0.5)
-    ax_wave.set_ylim(-1.15 * amp, 1.15 * amp)
-    ax_wave.set_ylabel("original ↑ / snapped ↓")
-    for segs, sign, color in ((original_boundaries or [], 1, "#c44"),
-                              (snapped_boundaries or [], -1, "#283")):
-        for start, end, label in segs:
-            ax_wave.vlines(end, 0, sign * amp, color=color, linewidth=0.9)
-            ax_wave.annotate(label, ((start + end) / 2, sign * amp * 1.05),
-                             ha="center", va="bottom" if sign > 0 else "top",
-                             fontsize=7, color=color)
+    def waveform_panel(ax, title, segs, color):
+        ax.set_title(title)
+        ax.plot(t, y, color="lightblue", linewidth=0.6, zorder=1)
+        for start, end, label in segs or []:
+            ax.axvline(end, color=color, linewidth=1)
+            ax.annotate(label, ((start + end) / 2, amp * 0.8),
+                        ha="center", fontsize=8, color=color)
 
+    waveform_panel(ax_orig, "Original Label", original_boundaries, "#c44")
+
+    ax_det.set_title("Spectral Flux + MFCC Delta")
     if len(flux_times):
-        combined = 0.5 * np.asarray(flux) + 0.5 * np.asarray(delta_mag)
-        ax_det.fill_between(flux_times, combined, color="#9bc", alpha=0.6,
-                            label="novelty (flux+Δmfcc)/2")
+        ax_det.plot(flux_times, flux, color="purple", linewidth=0.9,
+                    label="Flux")
+        ax_det.plot(flux_times, delta_mag, color="orange", linewidth=0.9,
+                    label="MFCC")
         ax_det.legend(loc="upper right", fontsize=8)
     for tb in predicted_boundaries:
-        ax_det.axvline(tb, color="#555", linewidth=0.7, alpha=0.8)
-    ax_det.set_ylabel("candidates")
-    ax_det.set_xlabel("time (s)")
+        ax_det.axvline(tb, color="magenta", linestyle="--", linewidth=0.8)
+
+    waveform_panel(ax_snap, "Corrected Label Boundaries",
+                   snapped_boundaries, "#283")
+    ax_snap.set_xlabel("time (s)")
     fig.tight_layout()
     fig.savefig(save_path, dpi=110)
     plt.close(fig)
