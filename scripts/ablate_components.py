@@ -9,7 +9,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# repo root relative to this file (worktree-safe for A/B runs)
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import __graft_entry__ as graft
 from wfl_asr_tpu.models.tagger import init_tagger
 from wfl_asr_tpu.models import wavlm as W

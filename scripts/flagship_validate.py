@@ -18,7 +18,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# repo root relative to this file (worktree-safe for A/B runs)
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "rtfx"
 

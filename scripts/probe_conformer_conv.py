@@ -9,7 +9,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# repo root relative to this file (worktree-safe for A/B runs)
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 B, T, C, KW = 8, 1499, 768, 31
 K = 4

@@ -22,7 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# repo root relative to this file (worktree-safe for A/B runs)
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 from wfl_asr_tpu.ops.pallas import conv_fused as CF
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
