@@ -241,3 +241,55 @@ def test_session_warmup(tmp_path):
     logits, offsets = session.forward(
         np.random.RandomState(0).randn(16000).astype(np.float32) * 0.3, [0])
     assert logits.shape[0] == 1 and offsets.shape[-1] == 2
+
+
+def test_vmem_budget_model_calibration():
+    """_vmem_bytes classifies the four round-4 Mosaic compile outcomes
+    (docs/TPU_RUNS_r04.log, B=16×30 s bf16 WavLM chain geometry: c=512,
+    tile 128, ks=(3,3,3) with the fused input-norm): seq nb=1/2 compile,
+    seq nb=4 overflows (measured 16.10 MB), packed nb=2 overflows
+    (measured 25.27 MB)."""
+    from wfl_asr_tpu.ops.pallas.conv_fused import (VMEM_BUDGET, _vmem_bytes,
+                                                   _in_rows_needed)
+
+    tile_out, c, ks = 128, 512, (3, 3, 3)
+    t_outs, need = [], tile_out
+    for k in reversed(ks):
+        t_outs.append(need)
+        need = _in_rows_needed(need, k)
+    t_outs.reverse()
+    main_rows, halo_rows = tile_out * 2 ** len(ks), 128
+
+    def mb(nb, packed):
+        return _vmem_bytes(nb, packed, main_rows, halo_rows, tile_out, c,
+                           ks, t_outs, 2, True)
+
+    assert mb(1, False) <= VMEM_BUDGET
+    assert mb(2, False) <= VMEM_BUDGET
+    assert mb(4, False) > VMEM_BUDGET        # measured 16.10 MB
+    assert mb(2, True) > VMEM_BUDGET         # measured 25.27 MB
+    # magnitude sanity on the measured overflow points (±40%)
+    assert abs(mb(4, False) / (16.10 * 2 ** 20) - 1) < 0.4
+    assert abs(mb(2, True) / (25.27 * 2 ** 20) - 1) < 0.4
+    # monotone in nb for both kernels
+    for packed in (False, True):
+        assert mb(2, packed) > mb(1, packed)
+        assert mb(4, packed) > mb(2, packed)
+
+
+def test_vmem_guard_clamps_instead_of_oom(monkeypatch, capsys):
+    """An over-budget batch_block request clamps (with a notice) and still
+    produces correct numerics — the knob must never brick a run."""
+    from wfl_asr_tpu.ops.pallas import conv_fused
+    monkeypatch.setattr(conv_fused, "PACKED", True)
+    # tiny VMEM budget forces the clamp even at test-size shapes
+    monkeypatch.setattr(conv_fused, "VMEM_BUDGET", 300 * 1024)
+    rng = np.random.RandomState(11)
+    b, t, c = 4, 1102, 64
+    x = jnp.asarray((rng.randn(b, t, c) * 0.4).astype(np.float32))
+    ws = make_chain(6, c, (3, 2, 2))
+    ref = xla_chain(x, ws)
+    out = fused_conv_chain(x, ws, tile_out=32, batch_block=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    assert "clamped batch_block" in capsys.readouterr().out
