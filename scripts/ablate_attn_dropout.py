@@ -105,6 +105,11 @@ def make_config(arm_dir, strict, seed):
 
 def run_arm(tag, strict, seed):
     arm_dir = os.path.join(WORK, f"{tag}_s{seed}")
+    # fresh arm dir: train() auto-resumes from any model_step*.pt in
+    # save_dir and appends to metrics.jsonl — stale state from a prior
+    # invocation would corrupt the measurement.
+    import shutil
+    shutil.rmtree(arm_dir, ignore_errors=True)
     cfg = make_config(arm_dir, strict, seed)
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"

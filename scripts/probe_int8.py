@@ -54,8 +54,17 @@ def bench(make_args, op, label):
         print(f"{label}: UNRELIABLE (t(K={K2}) <= t(K={K1}); relay noise or "
               "collapsed copies) — rerun", flush=True)
         return float("nan")
+    # Two-sided confidence: the K-delta must also clear the run-to-run
+    # scatter of the medians it was computed from, or the per-matmul
+    # figure is relay noise wearing a number.
+    mad = lambda ts: float(np.median(np.abs(np.array(ts) - np.median(ts))))
+    spread = np.hypot(mad(raw1), mad(raw2))
+    conf = "" if (t2 - t1) > 2 * spread else (
+        f"  [LOW CONFIDENCE: K-delta {1e3 * (t2 - t1):.0f} ms vs rep "
+        f"scatter ~{1e3 * spread:.0f} ms — treat as an upper bound]")
     print(f"{label}: {per:.3f} ms per matmul "
-          f"({2 * M * K * N / (per / 1e3) / 1e12:.1f} TOP/s)", flush=True)
+          f"({2 * M * K * N / (per / 1e3) / 1e12:.1f} TOP/s){conf}",
+          flush=True)
     return per
 
 

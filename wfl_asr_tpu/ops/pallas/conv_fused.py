@@ -287,18 +287,25 @@ def _fused_conv_impl(x, weights, input_norm, tile_out: int,
     # sweep knobs and must never brick a run (VERDICT r4 weak #1).
     esize = jnp.dtype(x.dtype).itemsize
     nb_req = nb
-    packed = PACKED and nb > 1
+    packed_req = packed = PACKED and nb > 1
     while nb > 1 and _vmem_bytes(nb, packed, main_rows, halo_rows, tile_out,
                                  c, ks, t_outs, esize, input_norm is not None
                                  ) > VMEM_BUDGET:
+        if packed:
+            # the sequential kernel at the SAME nb is strictly smaller
+            # (per-row intermediates don't scale with nb) — try it before
+            # giving up batch rows.
+            packed = False
+            continue
         nb -= 1
         while b % nb:
             nb -= 1
-        if nb == 1:
-            packed = False
-    if nb < nb_req:
-        print(f"wfl conv_fused: clamped batch_block {nb_req} -> {nb} "
-              f"(packed={packed}) to fit the ~16 MB VMEM budget", flush=True)
+    if nb == 1:
+        packed = False
+    if nb < nb_req or packed != packed_req:
+        print(f"wfl conv_fused: clamped batch_block {nb_req} "
+              f"(packed={packed_req}) -> {nb} (packed={packed}) to fit "
+              f"the ~16 MB VMEM budget", flush=True)
 
     n_tiles = -(-t_true // tile_out)
     rows_padded = n_tiles * main_rows + halo_rows
