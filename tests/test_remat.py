@@ -170,3 +170,108 @@ def test_train_step_remat_metrics_identical():
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# training.remat: auto — OOM fallback (AutoRematStep)
+# ---------------------------------------------------------------------------
+
+def test_auto_remat_fallback_on_oom():
+    """Non-remat build OOMs at compile → rebuilt once with remat and the
+    call succeeds; the flip is sticky (later calls skip the failing build)."""
+    from wfl_asr_tpu.train.loop import AutoRematStep
+
+    calls = []
+
+    def build(remat_flag):
+        def step(x):
+            calls.append(remat_flag)
+            if not remat_flag:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                    "space hbm. Used 17.80G of 15.75G hbm.")
+            return x + 1
+        return step
+
+    step = AutoRematStep(build)
+    assert step(1) == 2
+    assert step.remat
+    assert calls == [False, True]
+    assert step(5) == 6          # sticky: no retry dance on later calls
+    assert calls == [False, True, True]
+
+
+def test_auto_remat_relay_opaque_signature():
+    """The axon relay hides the OOM cause behind an INTERNAL HTTP 500 —
+    that signature retries too; anything else propagates untouched."""
+    from wfl_asr_tpu.train.loop import AutoRematStep, _looks_like_hbm_oom
+
+    assert _looks_like_hbm_oom(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1"))
+    assert not _looks_like_hbm_oom(ValueError("shapes do not match"))
+
+    def build(remat_flag):
+        def step():
+            raise ValueError("genuine bug, not memory")
+        return step
+
+    step = AutoRematStep(build)
+    try:
+        step()
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("non-OOM error must propagate")
+    assert not step.remat
+
+
+def test_auto_remat_second_failure_propagates():
+    """If the remat build ALSO fails, the error surfaces (no retry loop)."""
+    from wfl_asr_tpu.train.loop import AutoRematStep
+
+    def build(remat_flag):
+        def step():
+            raise RuntimeError("Ran out of memory in memory space hbm")
+        return step
+
+    step = AutoRematStep(build)
+    try:
+        step()
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("second OOM must propagate")
+    assert step.remat
+
+
+def test_train_driver_remat_auto_config(tmp_path):
+    """`training.remat: auto` drives a real (tiny, CPU) training run on
+    the happy path — no OOM, so the non-remat step runs throughout."""
+    import os
+    import random as pyrandom
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train.loop import train
+
+    rng = pyrandom.Random(21)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=6)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 2
+    config["model"].update({
+        "encoder_type": "none", "enable_bilstm": False,
+        "num_conformer_layers": 1, "conformer_heads": 2,
+        "conformer_ff_expansion": 2, "conformer_kernel_size": 31,
+        "lang_emb_dim": 8,
+    })
+    config["training"].update({
+        "batch_size": 2, "optimizer": "AdamW", "learning_rate": 1e-3,
+        "scheduler": "ConstantLR", "max_steps": 2,
+        "val_check_interval": 2, "max_checkpoints": 1, "seed": 0,
+        "remat": "auto", "data_parallel": False,
+    })
+    run_preprocess(data_dir, config)
+    train(os.path.join(save_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(save_dir, "best_model.pt"))
