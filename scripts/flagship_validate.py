@@ -19,8 +19,8 @@ import time
 import numpy as np
 
 # repo root relative to this file (worktree-safe for A/B runs)
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "rtfx"
 

@@ -10,8 +10,8 @@ import jax
 import jax.numpy as jnp
 
 # repo root relative to this file (worktree-safe for A/B runs)
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 B, T, C, KW = 8, 1499, 768, 31
 K = 4

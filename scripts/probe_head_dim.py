@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 # repo root relative to this file (worktree-safe for A/B runs)
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from wfl_asr_tpu.ops.pallas.flash_attention import flash_attention
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16

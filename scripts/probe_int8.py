@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 # repo root relative to this file (worktree-safe for A/B runs)
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 M, K, N = 8 * 1499, 768, 3072
 K1, K2 = 8, 40

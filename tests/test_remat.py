@@ -203,20 +203,24 @@ def test_auto_remat_fallback_on_oom():
 
 def test_auto_remat_relay_opaque_signature():
     """The axon relay hides the OOM cause behind an INTERNAL HTTP 500 —
-    that signature retries too; anything else propagates untouched."""
-    from wfl_asr_tpu.train.loop import AutoRematStep, _looks_like_hbm_oom
+    that signature retries the ORIGINAL build once (a transient relay
+    blip must not flip the run), then falls back to remat if it repeats;
+    anything else propagates untouched."""
+    from wfl_asr_tpu.train.loop import (AutoRematStep, _looks_like_hbm_oom,
+                                        _opaque_compile_error)
 
-    assert _looks_like_hbm_oom(RuntimeError(
-        "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
-        "tpu_compile_helper subprocess exit code 1"))
+    opaque = ("INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+              "tpu_compile_helper subprocess exit code 1")
+    assert _opaque_compile_error(RuntimeError(opaque))
+    assert not _looks_like_hbm_oom(RuntimeError(opaque))
     assert not _looks_like_hbm_oom(ValueError("shapes do not match"))
 
-    def build(remat_flag):
+    def build_bug(remat_flag):
         def step():
             raise ValueError("genuine bug, not memory")
         return step
 
-    step = AutoRematStep(build)
+    step = AutoRematStep(build_bug)
     try:
         step()
     except ValueError:
@@ -224,6 +228,98 @@ def test_auto_remat_relay_opaque_signature():
     else:
         raise AssertionError("non-OOM error must propagate")
     assert not step.remat
+
+    # transient blip: first call raises opaque, the same-build retry
+    # succeeds — no remat flip
+    calls = []
+
+    def build_blip(remat_flag):
+        def stp(x):
+            calls.append(remat_flag)
+            if len(calls) == 1:
+                raise RuntimeError(opaque)
+            return x * 2
+        return stp
+
+    step = AutoRematStep(build_blip)
+    assert step(3) == 6
+    assert not step.remat and calls == [False, False]
+
+    # persistent opaque failure: retry fails too -> flip to remat
+    calls2, flips = [], []
+
+    def build_persist(remat_flag):
+        def stp(x):
+            calls2.append(remat_flag)
+            if not remat_flag:
+                raise RuntimeError(opaque)
+            return x * 2
+        return stp
+
+    step = AutoRematStep(build_persist, on_flip=lambda: flips.append(1))
+    assert step(3) == 6
+    assert step.remat and calls2 == [False, False, True] and flips == [1]
+
+
+def test_auto_remat_donated_args_guard():
+    """If the matched failure consumed donated buffers (execution-time,
+    not compile-time), the retry would dereference deleted arrays — the
+    original error must propagate instead."""
+    from wfl_asr_tpu.train.loop import AutoRematStep
+
+    x = jnp.ones((4,))
+
+    @jax.jit
+    def consume(a):
+        return a + 1
+
+    donated = jax.jit(lambda a: a * 2, donate_argnums=0)
+    donated(x)          # x's buffer is now deleted
+    assert x.is_deleted()
+
+    def build(remat_flag):
+        def stp(a):
+            raise RuntimeError("Ran out of memory in memory space hbm")
+        return stp
+
+    step = AutoRematStep(build)
+    try:
+        step(x)
+    except RuntimeError as e:
+        assert "Ran out of memory" in str(e)
+    else:
+        raise AssertionError("must propagate when args are deleted")
+    assert not step.remat
+
+
+def test_auto_remat_rejected_multihost(tmp_path, monkeypatch):
+    """remat: auto is a process-local decision — multi-host runs must
+    reject it instead of risking desynchronized compiled programs."""
+    import os
+    import random as pyrandom
+    import pytest
+    from tests.test_preprocess import make_fixture_dataset, make_config
+    from wfl_asr_tpu.preprocess import preprocess as run_preprocess
+    from wfl_asr_tpu.train import loop as L
+
+    rng = pyrandom.Random(22)
+    data_dir = make_fixture_dataset(str(tmp_path), rng, langs=("en",),
+                                    files_per_lang=4)
+    save_dir = str(tmp_path / "save")
+    config = make_config(data_dir, save_dir, [])
+    config["data"]["num_val_files"] = 1
+    config["model"].update({"encoder_type": "none", "enable_bilstm": False,
+                            "num_conformer_layers": 0,
+                            "enable_dilated_conv": False,
+                            "lang_emb_dim": 8})
+    config["training"].update({"batch_size": 2, "optimizer": "AdamW",
+                               "max_steps": 1, "val_check_interval": 5,
+                               "seed": 0, "remat": "auto",
+                               "data_parallel": False})
+    run_preprocess(data_dir, config)
+    monkeypatch.setattr(L.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-host only"):
+        L.train(os.path.join(save_dir, "config.yaml"))
 
 
 def test_auto_remat_second_failure_propagates():

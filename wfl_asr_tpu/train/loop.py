@@ -254,46 +254,86 @@ def make_accum_apply(tx):
 
 
 def _looks_like_hbm_oom(e: BaseException) -> bool:
-    """Heuristic OOM matcher for the remat-auto fallback.
-
-    Standard XLA:TPU reports RESOURCE_EXHAUSTED / 'Ran out of memory in
-    memory space hbm' at compile time (allocation is static). The axon
-    relay used in this environment hides the cause behind an opaque
-    'remote_compile ... HTTP 500' INTERNAL error (the OOM detail only
-    reaches the server log — measured, docs/TPU_RUNS_r05_capacity.log),
-    so that signature is treated as possibly-OOM too: the fallback
-    retries once with remat, and if the failure was something else the
-    retry fails the same way and the error still surfaces."""
+    """Explicit OOM matcher for the remat-auto fallback: XLA:TPU reports
+    RESOURCE_EXHAUSTED / 'Ran out of memory in memory space hbm' at
+    compile time (allocation is static)."""
     s = str(e)
     return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
-            or "Allocation failure" in s
-            or ("remote_compile" in s and "HTTP 500" in s))
+            or "Allocation failure" in s)
+
+
+def _opaque_compile_error(e: BaseException) -> bool:
+    """The axon relay used in this environment hides the compile-failure
+    cause behind an opaque 'remote_compile ... HTTP 500' INTERNAL error
+    (the OOM detail only reaches the server log — measured,
+    docs/TPU_RUNS_r05_capacity.log). Possibly-OOM, possibly a transient
+    relay blip — AutoRematStep retries the ORIGINAL build once before
+    concluding OOM."""
+    s = str(e)
+    return "remote_compile" in s and "HTTP 500" in s
+
+
+def _args_deleted(args, kwargs) -> bool:
+    """True if any jax.Array argument was already consumed (donated
+    buffers are invalidated at dispatch; a compile-time failure leaves
+    them alive — the case the remat-auto retry relies on)."""
+    for a in jax.tree_util.tree_leaves((args, kwargs)):
+        if isinstance(a, jax.Array) and a.is_deleted():
+            return True
+    return False
 
 
 class AutoRematStep:
     """``training.remat: auto`` — run the (~7% faster, measured) non-remat
     step; on a compile-time HBM OOM rebuild with gradient checkpointing
     and retry. Safe to retry because XLA:TPU memory failures happen at
-    compile, before donated input buffers are consumed. The fallback can
-    trigger on any jitted shape (bucketed batches retrace per shape), and
-    once it flips, remat stays on for every later shape."""
+    compile, before donated input buffers are consumed — and verified:
+    if the failure consumed any donated argument (an execution-time
+    error), the original error propagates instead of a retry on deleted
+    arrays. On the relay's opaque HTTP-500 signature the ORIGINAL build
+    is retried once first, so a transient relay blip doesn't permanently
+    flip a run that never needed remat. The fallback can trigger on any
+    jitted shape (bucketed batches retrace per shape); once it flips,
+    remat stays on for every later shape. ``on_flip`` (optional callback)
+    fires at the flip so the driver can record it in the run's metrics
+    log."""
 
-    def __init__(self, build):
+    def __init__(self, build, on_flip=None):
         self._build = build          # build(remat: bool) -> jitted step
         self._fn = build(False)
+        self._on_flip = on_flip
         self.remat = False
 
     def __call__(self, *args, **kwargs):
         try:
             return self._fn(*args, **kwargs)
         except Exception as e:                  # noqa: BLE001 — re-raised
-            if self.remat or not _looks_like_hbm_oom(e):
+            opaque = _opaque_compile_error(e)
+            if self.remat or not (opaque or _looks_like_hbm_oom(e)):
                 raise
+            if _args_deleted(args, kwargs):
+                print("[WARN] training.remat: auto cannot retry — the "
+                      "failure consumed donated input buffers "
+                      "(execution-time, not compile-time); re-raising",
+                      flush=True)
+                raise
+            if opaque:
+                # could be a relay blip, not OOM: same build, one retry
+                try:
+                    return self._fn(*args, **kwargs)
+                except Exception as e2:         # noqa: BLE001 — re-raised
+                    if not (_opaque_compile_error(e2)
+                            or _looks_like_hbm_oom(e2)):
+                        raise
+                    if _args_deleted(args, kwargs):
+                        raise
             print("[WARN] train step failed to fit HBM "
                   f"({type(e).__name__}); retrying with gradient "
                   "checkpointing (training.remat: auto)", flush=True)
             self._fn = self._build(True)
             self.remat = True
+            if self._on_flip is not None:
+                self._on_flip()
             return self._fn(*args, **kwargs)
 
 
@@ -626,6 +666,15 @@ def train(config_path: str = "config.yaml",
     if remat:
         print("[INFO] Gradient checkpointing (remat) on encoder layers")
     elif remat_auto:
+        if pcount > 1:
+            # the flip is a process-local decision; one host flipping
+            # while peers don't would run structurally different programs
+            # and deadlock the next collective (same divergence class the
+            # resume-decision broadcast guards against).
+            raise ValueError(
+                "training.remat: auto is single-host only (the OOM "
+                "fallback would desynchronize compiled programs across "
+                "hosts); set training.remat true/false explicitly")
         print("[INFO] training.remat: auto — gradient checkpointing will "
               "engage only if the train step overflows HBM")
     # training.pipeline_parallel: S — GPipe the encoder transformer stack
@@ -809,8 +858,13 @@ def train(config_path: str = "config.yaml",
             pp_microbatches=pp_microbatches,
             param_shardings=param_shardings)
 
-    train_step = (AutoRematStep(_build_train_step) if remat_auto
-                  else _build_train_step(remat))
+    def _log_remat_flip():
+        # visible in the run record, not just stdout: a flipped run
+        # trains ~7% slower and the metrics log should say why.
+        log_event("remat_auto_flip", step, remat=True)
+
+    train_step = (AutoRematStep(_build_train_step, on_flip=_log_remat_flip)
+                  if remat_auto else _build_train_step(remat))
     eval_step = make_eval_step(arch, cfg.label_smoothing, mesh=mesh,
                                sequence_parallel=sequence_parallel,
                                pp_microbatches=pp_microbatches)
@@ -837,8 +891,9 @@ def train(config_path: str = "config.yaml",
                 remat=remat_flag, pp_microbatches=pp_microbatches,
                 param_shardings=param_shardings)
 
-        grad_step = (AutoRematStep(_build_grad_step) if remat_auto
-                     else _build_grad_step(remat))
+        grad_step = (AutoRematStep(_build_grad_step,
+                                   on_flip=_log_remat_flip)
+                     if remat_auto else _build_grad_step(remat))
         apply_step = make_accum_apply(tx)
         print(f"[INFO] Gradient accumulation: {accum_steps} micro-batches "
               f"per update (effective batch "
