@@ -42,6 +42,16 @@ if (jax.devices()[0].platform == "tpu"
         arch, use_flash_attention=True,
         wavlm=dataclasses.replace(arch.wavlm, use_flash_attention=True))
     print("wavlm flash attention: ON", flush=True)
+# WFL_TRAIN_STRICT_DROPOUT=1 mirrors training.strict_attention_dropout:
+# in-kernel attention-prob dropout on the flash path (the hub presets
+# carry attention_dropout=0.1) — measures its step-time cost vs the
+# default post-projection substitute.
+if os.environ.get("WFL_TRAIN_STRICT_DROPOUT") == "1":
+    arch = dataclasses.replace(
+        arch, strict_attention_dropout=True,
+        wavlm=dataclasses.replace(arch.wavlm, strict_attention_dropout=True,
+                                  attention_dropout=0.1))
+    print("strict attention dropout: ON (rate 0.1, in-kernel)", flush=True)
 params, state = init_tagger(jax.random.PRNGKey(0), arch)
 
 

@@ -1,0 +1,171 @@
+"""In-kernel attention-probability dropout (flash kernels, interpret mode).
+
+torch semantics — inverted dropout on the softmax output, rows NOT
+renormalized (HF WavLM ``attention_dropout``, reference model.py:72-81;
+``nn.MultiheadAttention(dropout=...)``, reference model.py:25) — with the
+mask a pure hash of (seed, b, h, q, k) (ops/pallas/dropout_mask.py) so
+the backward kernels regenerate it exactly at any tiling. These tests pin
+forward and EVERY cotangent (dq/dk/dv, and dbias/dgate for the WavLM
+kernel) against a plain-jnp oracle that uses the same hash mask, plus the
+mask's statistics and the rate-0 no-op property.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wfl_asr_tpu.ops.pallas.dropout_mask import (
+    attention_prob_dropout_reference, keep_mask_f32, uniform24)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3)
+
+
+def test_mask_statistics_and_determinism():
+    q_idx = jnp.arange(512, dtype=jnp.int32)[:, None]
+    k_idx = jnp.arange(512, dtype=jnp.int32)[None, :]
+    rate = 0.3
+    m = keep_mask_f32(jnp.int32(42), 1, 2, q_idx, k_idx, rate)
+    keep_frac = float(jnp.mean((m > 0).astype(jnp.float32)))
+    assert abs(keep_frac - (1 - rate)) < 0.01          # 512^2 samples
+    # kept entries carry the inverted-dropout scale
+    np.testing.assert_allclose(float(jnp.max(m)), 1 / (1 - rate), rtol=1e-6)
+    # no row/column stripes (hash quality): every row/col near the rate
+    row_frac = jnp.mean((m > 0).astype(jnp.float32), axis=1)
+    col_frac = jnp.mean((m > 0).astype(jnp.float32), axis=0)
+    assert float(jnp.max(jnp.abs(row_frac - (1 - rate)))) < 0.12
+    assert float(jnp.max(jnp.abs(col_frac - (1 - rate)))) < 0.12
+    # deterministic given the inputs; decorrelated across seed/b/h
+    m2 = keep_mask_f32(jnp.int32(42), 1, 2, q_idx, k_idx, rate)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+    for other in (keep_mask_f32(jnp.int32(43), 1, 2, q_idx, k_idx, rate),
+                  keep_mask_f32(jnp.int32(42), 0, 2, q_idx, k_idx, rate),
+                  keep_mask_f32(jnp.int32(42), 1, 3, q_idx, k_idx, rate)):
+        agree = float(jnp.mean((np.asarray(m) > 0) == (np.asarray(other) > 0)))
+        assert 0.5 < agree < 0.72   # ~ (1-r)^2 + r^2 = 0.58 if independent
+
+
+def test_uniform24_range():
+    u = uniform24(jnp.int32(7), 0, 0,
+                  jnp.arange(64, dtype=jnp.int32)[:, None],
+                  jnp.arange(64, dtype=jnp.int32)[None, :])
+    assert int(jnp.min(u)) >= 0 and int(jnp.max(u)) < (1 << 24)
+
+
+@pytest.mark.parametrize("rate", [0.2, 0.5])
+def test_nobias_kernel_matches_oracle(rate):
+    from wfl_asr_tpu.ops.pallas.flash_attention_bwd import (
+        flash_attention_trainable)
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 2, 2, 160, 32
+    q, k, v = (_rand(rng, b, h, t, d) for _ in range(3))
+    kv_len = jnp.asarray([150, 97], jnp.int32)
+    seed = jnp.int32(1234)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+        mask = jnp.arange(t)[None, :] < kv_len[:, None]
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = attention_prob_dropout_reference(p, seed, rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    out = flash_attention_trainable(q, k, v, kv_len,
+                                    dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)),
+                               atol=2e-6, rtol=1e-5)
+
+    g = _rand(rng, b, h, t, d)
+    gk = jax.grad(lambda *a: jnp.sum(flash_attention_trainable(
+        *a, kv_len, dropout_rate=rate, dropout_seed=seed) * g),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_nobias_kernel_rate_zero_is_noop():
+    from wfl_asr_tpu.ops.pallas.flash_attention_bwd import (
+        flash_attention_trainable)
+
+    rng = np.random.RandomState(1)
+    q, k, v = (_rand(rng, 1, 2, 96, 32) for _ in range(3))
+    base = flash_attention_trainable(q, k, v)
+    z = flash_attention_trainable(q, k, v, dropout_rate=0.0,
+                                  dropout_seed=jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(z))
+    with pytest.raises(ValueError, match="requires dropout_seed"):
+        flash_attention_trainable(q, k, v, dropout_rate=0.1)
+
+
+def test_wavlm_kernel_matches_oracle_incl_dbias_dgate():
+    from wfl_asr_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(2)
+    b, h, t, d = 2, 2, 96, 32
+    q, k, v = (_rand(rng, b, h, t, d) for _ in range(3))
+    bias = jnp.asarray(rng.randn(h, t, t).astype(np.float32) * 0.2)
+    gate = jnp.asarray((rng.rand(b, h, t) * 0.5 + 0.5).astype(np.float32))
+    kv_len = jnp.asarray([90, 61], jnp.int32)
+    seed, rate = jnp.int32(77), 0.25
+
+    def ref(q, k, v, bias, gate):
+        s = (jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+             + gate[..., None] * bias[None])
+        mask = jnp.arange(t)[None, :] < kv_len[:, None]
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = attention_prob_dropout_reference(p, seed, rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    out = flash_attention(q, k, v, bias, gate, kv_len,
+                          dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(q, k, v, bias, gate)),
+                               atol=2e-6, rtol=1e-5)
+
+    g = _rand(rng, b, h, t, d)
+    gk = jax.grad(lambda *a: jnp.sum(flash_attention(
+        *a, kv_len, dropout_rate=rate, dropout_seed=seed) * g),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, bias, gate)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) * g),
+                  argnums=(0, 1, 2, 3, 4))(q, k, v, bias, gate)
+    for name, a, r in zip("q k v bias gate".split(), gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-6, rtol=1e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_strict_flash_wavlm_encode_keyed_and_memory_path():
+    """wavlm_encode with strict dropout + flash: keyed-deterministic,
+    seed-sensitive, and inference (deterministic) is unaffected."""
+    import dataclasses
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+
+    wl = graft._flagship_arch(tiny=True).wavlm
+    arch = dataclasses.replace(wl, attention_dropout=0.3,
+                               strict_attention_dropout=True,
+                               use_flash_attention=True)
+    params = init_wavlm(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(3)
+    audio = jnp.asarray((rng.randn(2, 4000) * 0.3).astype(np.float32))
+
+    run = jax.jit(lambda p, a, k: wavlm_encode(p, arch, a, rng=k,
+                                               deterministic=False))
+    o1 = run(params, audio, jax.random.PRNGKey(4))
+    o2 = run(params, audio, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = run(params, audio, jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    # inference identical with/without the strict flag
+    plain = dataclasses.replace(arch, strict_attention_dropout=False)
+    a = jax.jit(lambda p, x: wavlm_encode(p, arch, x))(params, audio)
+    b = jax.jit(lambda p, x: wavlm_encode(p, plain, x))(params, audio)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

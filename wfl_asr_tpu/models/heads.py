@@ -241,13 +241,17 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
                 if (not deterministic and strict_attn_dropout
                     and drop_rate > 0.0) else None)
     from .wavlm import FLASH_MIN_T
-    if attn_rng is None and use_flash and (x.dtype == jnp.bfloat16
-                                           or t >= FLASH_MIN_T):
-        # differentiable Pallas kernel — used in training and inference
+    if use_flash and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T):
+        # differentiable Pallas kernel — used in training and inference;
+        # strict attention dropout runs IN-KERNEL (dropout_mask.py).
         from ..ops.pallas.flash_attention_bwd import flash_attention_trainable
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
-        attn = flash_attention_trainable(q, k, v, kv_len, mesh=mesh)
+        drop = ({} if attn_rng is None else
+                dict(dropout_rate=drop_rate,
+                     dropout_seed=jax.random.randint(
+                         attn_rng, (), -2**31, 2**31 - 1, jnp.int32)))
+        attn = flash_attention_trainable(q, k, v, kv_len, mesh=mesh, **drop)
     else:
         attn = attention_core(q, k, v, mask=mask, dropout_rng=attn_rng,
                               dropout_rate=drop_rate)
@@ -255,11 +259,11 @@ def conformer_block(params, state, x: jnp.ndarray, heads: int,
                   attn.transpose(0, 2, 1, 3).reshape(b, t, dim))
     # torch MultiheadAttention applies dropout to attention *weights* and
     # the reference block adds NO dropout after it (model.py:29-31, 41-42);
-    # by default we substitute an equivalent post-projection dropout (the
-    # flash kernel permits no prob-level drop). Under
-    # training.strict_attention_dropout the exact prob-level dropout ran on
-    # the XLA path above INSTEAD — the substitute is skipped, matching the
-    # reference block exactly.
+    # by default we substitute an equivalent post-projection dropout
+    # (measured equivalent, docs/PERFORMANCE.md A/B). Under
+    # training.strict_attention_dropout the exact prob-level dropout ran
+    # above INSTEAD (in-kernel on flash, on the probs on XLA) — the
+    # substitute is skipped, matching the reference block exactly.
     if not deterministic and attn_rng is None:
         attn = dropout(k_hidden, attn, drop_rate, False)
     x = layer_norm(params["ln1"], x + attn)

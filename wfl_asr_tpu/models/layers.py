@@ -292,8 +292,9 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``nn.MultiheadAttention(dropout=...)`` apply during training
     (reference model.py:29-31). Active only when a key is passed; the
     strict-parity training path (training.strict_attention_dropout) uses
-    this, the fused flash kernels cannot (dropout inside the online
-    softmax would break the two-pass backward recomputation).
+    this when flash is off — the flash kernels implement the same
+    semantics in-kernel via a position-stable hash mask
+    (ops/pallas/dropout_mask.py).
     """
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,

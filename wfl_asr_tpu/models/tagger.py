@@ -104,9 +104,10 @@ class TaggerArch:
     use_flash_attention: bool = False   # Pallas attention in Conformer blocks
     # training.strict_attention_dropout: apply true attention-probability
     # dropout (exact reference semantics — HF WavLM attention_dropout and
-    # torch MultiheadAttention(dropout=...)) on the XLA attention path
-    # during training, instead of the default post-projection substitute
-    # the flash kernels require. Inference is unaffected.
+    # torch MultiheadAttention(dropout=...)) during training instead of
+    # the default post-projection substitute: IN-KERNEL on the flash path
+    # (ops/pallas/dropout_mask.py), on the materialized probs on the XLA
+    # path. Inference is unaffected.
     strict_attention_dropout: bool = False
     sample_rate: int = 16000
     frame_duration: float = 0.02

@@ -68,13 +68,15 @@ class WavLMArch:
     layer_norm_eps: float = 1e-5
     hidden_dropout: float = 0.1
     activation_dropout: float = 0.0
-    # NOTE: by default attention-PROB dropout is not applied (the Pallas
-    # flash path cannot drop inside the fused softmax); the post-projection
-    # hidden_dropout is the substituted regularizer — the same policy the
-    # conformer heads document (heads.py). Set strict_attention_dropout to
-    # force the XLA attention path during training and apply true
-    # probability dropout at this rate (exact HF WavLM semantics,
-    # reference model.py:72-81); inference keeps the flash path either way.
+    # NOTE: by default attention-PROB dropout is not applied; the
+    # post-projection hidden_dropout is the substituted regularizer —
+    # measured equivalent (docs/PERFORMANCE.md A/B), the same policy the
+    # conformer heads document (heads.py). Set strict_attention_dropout
+    # for true probability dropout at this rate (exact HF WavLM
+    # semantics, reference model.py:72-81): on the flash path it runs
+    # IN-KERNEL via a position-stable hash mask
+    # (ops/pallas/dropout_mask.py) — full memory efficiency — and on the
+    # XLA path on the materialized probs. Inference is unaffected.
     attention_dropout: float = 0.0
     strict_attention_dropout: bool = False
     feat_proj_dropout: float = 0.0
@@ -379,8 +381,10 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
     [H,T,T] bias from HBM, no [B,H,T,T] materialization) or the XLA path.
 
     ``attn_rng``: non-None only under training.strict_attention_dropout —
-    forces the XLA path and applies attention-probability dropout there
-    (exact reference semantics; see WavLMArch.attention_dropout note)."""
+    attention-probability dropout with exact reference semantics. On the
+    flash path the dropout runs IN-KERNEL (position-stable hash mask,
+    ops/pallas/dropout_mask.py) so strict training keeps the kernel's
+    memory ceiling; the XLA path applies it on the materialized probs."""
     b, t, H = x.shape
     heads = arch.num_heads
     d = H // heads
@@ -401,14 +405,20 @@ def _attend(layer, arch: WavLMArch, x: jnp.ndarray, pos_bias: jnp.ndarray,
     # (measured: B=16×10 s train step 284 ms XLA vs 313 ms flash). bf16
     # inference keeps flash at every length (1341→1959 RTFx at T=1499).
     # t and dtype are static per trace: a compile-time branch.
-    if (attn_rng is None and arch.use_flash_attention
+    if (arch.use_flash_attention
             and (x.dtype == jnp.bfloat16 or t >= FLASH_MIN_T)):
         from ..ops.pallas.flash_attention import flash_attention
         gate = _gate_values(layer, arch, x)
         kv_len = (jnp.sum(mask.astype(jnp.int32), axis=-1)
                   if mask is not None else None)
+        drop = {}
+        if attn_rng is not None:
+            # strict attention dropout, in-kernel (torch semantics)
+            drop = dict(dropout_rate=arch.attention_dropout,
+                        dropout_seed=jax.random.randint(
+                            attn_rng, (), -2**31, 2**31 - 1, jnp.int32))
         attn = flash_attention(q, k, v, bias=pos_bias, gate=gate,
-                               kv_len=kv_len, mesh=mesh)
+                               kv_len=kv_len, mesh=mesh, **drop)
     else:
         gated = _gated_bias(layer, arch, x, pos_bias)
         attn = attention_core(q, k, v, bias=gated, mask=mask,

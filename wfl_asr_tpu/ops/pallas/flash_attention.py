@@ -73,8 +73,9 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
-                  o_ref, *maybe_lse_ref, block_k: int, sm_scale: float,
-                  t_pad: int, has_bias: bool, has_gate: bool):
+                  seed_ref, o_ref, *maybe_lse_ref, block_k: int,
+                  sm_scale: float, t_pad: int, has_bias: bool,
+                  has_gate: bool, dropout_rate: float = 0.0):
     # Blocks carry leading singleton (batch, head) dims:
     # q_ref: [1,1,BLOCK_Q,D]; k_ref/v_ref: [1,1,T_pad,D];
     # bias_ref: [1,BLOCK_Q,T_pad]; gate_ref: [1,1,BLOCK_Q,1];
@@ -93,6 +94,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
     if has_gate:
         gate = gate_ref[0, 0].astype(jnp.float32)          # [BLOCK_Q, 1]
+    # in-kernel attention-prob dropout (torch semantics): l accumulates
+    # the UNDROPPED p (softmax denominator is unaffected), the output
+    # accumulator takes the dropped values — ops/pallas/dropout_mask.py.
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        d_bi, d_hi = pl.program_id(2), pl.program_id(0)
+        q_idx = (pl.program_id(1) * block_q
+                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -120,6 +129,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                             # [BQ, BK]
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            from .dropout_mask import keep_mask_f32
+            p = p * keep_mask_f32(seed, d_bi, d_hi, q_idx, k_idx,
+                                  dropout_rate)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -173,7 +186,15 @@ def _prep_inputs(q, k, v, bias, gate, kv_len, block_q, block_k):
     return qp, kp, vp, bias_p, gate_p, kv_arr.reshape(b, 1, 1), t_pad
 
 
-def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
+def _seed_arr(dropout_seed):
+    """Replicated [1,1] int32 SMEM operand (zeros when dropout is off)."""
+    if dropout_seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+
+def _fwd_impl(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
+              want_lse, dropout_rate=0.0):
     b, h, t, d = q.shape
     has_bias, has_gate = bias is not None, gate is not None
     out_dtype = q.dtype
@@ -187,7 +208,8 @@ def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, sm_scale=1.0 / np.sqrt(d),
-        t_pad=t_pad, has_bias=has_bias, has_gate=has_gate)
+        t_pad=t_pad, has_bias=has_bias, has_gate=has_gate,
+        dropout_rate=dropout_rate)
 
     out_specs = pl.BlockSpec((1, 1, block_q, d),
                              lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -224,12 +246,14 @@ def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, qi, bi: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         # interpret mode on non-TPU backends (tests on the CPU platform)
         interpret=_interpret(),
-    )(qp, kp, vp, bias_p, gate_p, kv_arr)
+    )(qp, kp, vp, bias_p, gate_p, kv_arr, seed)
 
     if want_lse:
         out, lse = res
@@ -243,9 +267,11 @@ def _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k, want_lse):
 # ---------------------------------------------------------------------------
 
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
-                     lse_ref, delta_ref, kvlen_ref, dk_ref, dv_ref, *,
+                     lse_ref, delta_ref, kvlen_ref, seed_ref,
+                     dk_ref, dv_ref, *,
                      block_q: int, sm_scale: float, t_pad: int,
-                     has_bias: bool, has_gate: bool):
+                     has_bias: bool, has_gate: bool,
+                     dropout_rate: float = 0.0):
     # grid (h, k, b) — batch innermost so the bias block stays resident.
     # q/do: [1,1,T_pad,D]; k/v: [1,1,BLOCK_K,D]; bias: [1,T_pad,BLOCK_K];
     # gate: [1,1,T_pad,1]; lse: [1,1,T_pad,128] lane-broadcast (see
@@ -258,6 +284,11 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
     v_blk = v_ref[0, 0].astype(jnp.float32)
     k_idx = kb_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     k_valid = (k_idx < kv_len).astype(jnp.float32)            # [1, BK]
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        d_bi, d_hi = pl.program_id(2), pl.program_id(0)
+        dk_idx = kb_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
 
     def body(i, carry):
         dk_acc, dv_acc = carry
@@ -284,11 +315,24 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
         # a 0 mask is NaN — which would poison every gradient.
         s = jnp.where(k_valid > 0, s, NEG_INF)
         p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))   # [BQ, BK]
+        if dropout_rate > 0.0:
+            # dV uses the DROPPED probabilities; dS = P*(D*(dO V^T) - delta)
+            # — delta = rowsum(dO*O) is invariant (dropout_mask.py docs).
+            from .dropout_mask import keep_mask_f32
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            keepf = keep_mask_f32(seed, d_bi, d_hi, q_idx, dk_idx,
+                                  dropout_rate)
+        else:
+            keepf = None
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p * keepf if keepf is not None else p, do_blk,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if keepf is not None:
+            dp = dp * keepf
         ds = p * (dp - delta) * sm_scale                      # [BQ, BK]
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
@@ -303,10 +347,11 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
-                   lse_ref, delta_ref, kvlen_ref,
+                   lse_ref, delta_ref, kvlen_ref, seed_ref,
                    dq_ref, dgate_ref, dbias_ref, *,
                    block_k: int, sm_scale: float, t_pad: int,
-                   has_bias: bool, has_gate: bool):
+                   has_bias: bool, has_gate: bool,
+                   dropout_rate: float = 0.0):
     # grid (h, q, b), batch innermost. q/do/dq: [1,1,BLOCK_Q,D];
     # k/v: [1,1,T_pad,D]; bias/dbias: [1,BLOCK_Q,T_pad] (dbias revisited —
     # accumulated across the b axis); gate/dgate: [1,1,BLOCK_Q,1];
@@ -320,6 +365,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
     delta = delta_ref[0, 0]   # [BLOCK_Q, 1]
     if has_gate:
         gate = gate_ref[0, 0].astype(jnp.float32)             # [BQ, 1]
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        d_hi = pl.program_id(0)
+        dq_idx = (pl.program_id(1) * block_q
+                  + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
 
     def body(i, carry):
         dq_acc, dgate_acc = carry
@@ -340,6 +390,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
         p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # D*(dO V^T) — dBias/dGate flow through the same dS, so the
+            # mask factor lands in all three cotangents consistently.
+            from .dropout_mask import keep_mask_f32
+            dp = dp * keep_mask_f32(seed, bi, d_hi, dq_idx, k_idx,
+                                    dropout_rate)
         ds_raw = p * (dp - delta)                             # dS (unscaled)
         dq_acc = dq_acc + jax.lax.dot_general(
             ds_raw * sm_scale, k_blk, (((1,), (0,)), ((), ())),
@@ -365,7 +421,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
         dgate_ref[0, 0] = dgate.astype(dgate_ref.dtype)
 
 
-def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
+def _bwd_impl(q, k, v, bias, gate, kv_len, seed, out, lse, g,
+              block_q, block_k, dropout_rate=0.0):
     # ``lse`` arrives as the compact [B,H,t] residual (see _flash_kernel's
     # lse note) and is re-padded and lane-broadcast back to the kernels'
     # [B,H,T_pad,128] convention here — a transient, freed per layer, so
@@ -409,7 +466,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, block_q=block_q,
                           sm_scale=sm_scale, t_pad=t_pad,
-                          has_bias=has_bias, has_gate=has_gate),
+                          has_bias=has_bias, has_gate=has_gate,
+                          dropout_rate=dropout_rate),
         grid=(h, t_pad // block_k, b),
         in_specs=[
             pl.BlockSpec((1, 1, t_pad, d), lambda hi, ki, bi: (bi, hi, 0, 0),
@@ -429,6 +487,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, ki, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, ki, bi: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, d), lambda hi, ki, bi: (bi, hi, ki, 0),
@@ -439,7 +499,7 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype)),
         interpret=_interpret(),
-    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr)
+    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr, seed)
 
     def bias_spec_qblocked():
         if has_bias:
@@ -474,7 +534,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
     dq, dgate, dbias = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k,
                           sm_scale=sm_scale, t_pad=t_pad,
-                          has_bias=has_bias, has_gate=has_gate),
+                          has_bias=has_bias, has_gate=has_gate,
+                          dropout_rate=dropout_rate),
         grid=(h, t_pad // block_q, b),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -494,6 +555,8 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, qi, bi: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -505,7 +568,7 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
                    jax.ShapeDtypeStruct(dgate_shape, jnp.float32),
                    jax.ShapeDtypeStruct(dbias_shape, jnp.float32)),
         interpret=_interpret(),
-    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr)
+    )(qp, kp, vp, bias_p, gate_p, do, lse, delta, kv_arr, seed)
 
     dq = dq[:, :, :t]
     dk = dk[:, :, :t]
@@ -519,21 +582,23 @@ def _bwd_impl(q, k, v, bias, gate, kv_len, out, lse, g, block_q, block_k):
 # custom_vjp wiring
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k):
-    out, _ = _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k,
-                       want_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _flash_core(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
+                dropout_rate):
+    out, _ = _fwd_impl(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
+                       want_lse=False, dropout_rate=dropout_rate)
     return out
 
 
-def _flash_vjp_fwd(q, k, v, bias, gate, kv_len, block_q, block_k):
-    out, lse = _fwd_impl(q, k, v, bias, gate, kv_len, block_q, block_k,
-                         want_lse=True)
-    return out, (q, k, v, bias, gate, kv_len, out, lse)
+def _flash_vjp_fwd(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
+                   dropout_rate):
+    out, lse = _fwd_impl(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
+                         want_lse=True, dropout_rate=dropout_rate)
+    return out, (q, k, v, bias, gate, kv_len, seed, out, lse)
 
 
-def _flash_vjp_bwd(block_q, block_k, residuals, g):
-    q, k, v, bias, gate, kv_len, out, lse = residuals
+def _flash_vjp_bwd(block_q, block_k, dropout_rate, residuals, g):
+    q, k, v, bias, gate, kv_len, seed, out, lse = residuals
     t = q.shape[2]
     # The backward kernels keep more live state than the forward (full-T
     # q/dO and k/v streams; with a bias, tiles in BOTH orientations plus
@@ -557,9 +622,9 @@ def _flash_vjp_bwd(block_q, block_k, residuals, g):
     block_q = divisor_block(min(block_q, bq_cap), 8, t_pad)
     block_k = divisor_block(min(block_k, bk_cap), 128, t_pad)
     dq, dk, dv, dbias, dgate = _bwd_impl(
-        q, k, v, bias, gate, kv_len, out, lse, g,
-        block_q, block_k)
-    return dq, dk, dv, dbias, dgate, None
+        q, k, v, bias, gate, kv_len, seed, out, lse, g,
+        block_q, block_k, dropout_rate=dropout_rate)
+    return dq, dk, dv, dbias, dgate, None, None
 
 
 _flash_core.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -585,14 +650,17 @@ def shard_wrap(core, mesh, per_arg_specs, out_spec=None):
                          check_vma=False)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "mesh",
+                                             "dropout_rate"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     gate: Optional[jnp.ndarray] = None,
                     kv_len: Optional[jnp.ndarray] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
-                    mesh=None) -> jnp.ndarray:
+                    mesh=None,
+                    dropout_rate: float = 0.0,
+                    dropout_seed=None) -> jnp.ndarray:
     """q, k, v: [B, H, T, D] → [B, H, T, D]. Differentiable.
 
     bias: [H, T, T] (shared over batch) or None; gate: [B, H, T] or None
@@ -602,10 +670,23 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     per-shard under shard_map (batch on 'data'; heads, and the bias's head
     dim, on 'model' when the mesh has a model axis), bit-identical to the
     unsharded call. B must divide the data axis; H the model axis.
+
+    ``dropout_rate``/``dropout_seed``: IN-KERNEL attention-probability
+    dropout with torch semantics (what HF WavLM's ``attention_dropout``
+    applies in training) — the strict-semantics training path at the
+    flash kernel's memory ceiling. The mask is a pure hash of
+    (seed, b, h, q, k) regenerated identically by the backward kernels at
+    any tiling (ops/pallas/dropout_mask.py); dBias/dGate flow through the
+    same dropped dS. ``dropout_rate`` must be static; ``dropout_seed`` a
+    traced int32 scalar. rate == 0.0 compiles to exactly the old kernels.
     """
     t = q.shape[2]
     if gate is not None and bias is None:
         raise ValueError("gate requires bias")
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = _seed_arr(dropout_seed)
     if q.shape[-1] >= 256:
         # Wide heads: the bwd kernels keep full-T streams in VMEM; shrink
         # blocks to stay inside the ~16 MB budget (see flash_attention_bwd).
@@ -628,14 +709,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
         hax = "model" if mesh.shape.get("model", 1) > 1 else None
-        core = lambda q_, k_, v_, b_, g_, l_: _flash_core(
-            q_, k_, v_, b_, g_, l_, block_q, block_k)
+
+        def core(q_, k_, v_, b_, g_, l_, s_):
+            if dropout_rate > 0.0:
+                # decorrelate masks across shards (kernels see shard-LOCAL
+                # b/h indices)
+                from .dropout_mask import _C_K, _C_Q
+                s_ = s_ + jax.lax.axis_index("data") * jnp.int32(_C_Q)
+                if hax is not None:
+                    s_ = s_ + jax.lax.axis_index(hax) * jnp.int32(_C_K)
+            return _flash_core(q_, k_, v_, b_, g_, l_, s_,
+                               block_q, block_k, dropout_rate)
+
         fn = shard_wrap(
             core, mesh, per_arg_specs=(
                 P("data", hax, None, None), P("data", hax, None, None),
                 P("data", hax, None, None),
                 P(hax, None, None) if bias is not None else None,
                 P("data", hax, None) if gate is not None else None,
-                P("data") if kv_len is not None else None))
-        return fn(q, k, v, bias, gate, kv_len)
-    return _flash_core(q, k, v, bias, gate, kv_len, block_q, block_k)
+                P("data") if kv_len is not None else None,
+                P()))
+        return fn(q, k, v, bias, gate, kv_len, seed)
+    return _flash_core(q, k, v, bias, gate, kv_len, seed,
+                       block_q, block_k, dropout_rate)

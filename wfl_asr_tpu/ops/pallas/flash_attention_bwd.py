@@ -46,11 +46,21 @@ NEG_INF = -1e30
 # Forward (writes O and logsumexp L)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
-                block_k: int, sm_scale: float, t_pad: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, seed_ref, o_ref, lse_ref, *,
+                block_k: int, sm_scale: float, t_pad: int,
+                dropout_rate: float):
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+    # dropout (torch attention-prob semantics): the row normalizer l
+    # accumulates the UNDROPPED p — the softmax denominator is unaffected
+    # by dropout — while the output accumulator takes the dropped values
+    # (see ops/pallas/dropout_mask.py for the math + mask contract).
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        bi, hi = pl.program_id(2), pl.program_id(0)
+        q_idx = (pl.program_id(1) * block_q
+                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -67,6 +77,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            from .dropout_mask import keep_mask_f32
+            p = p * keep_mask_f32(seed, bi, hi, q_idx, k_idx, dropout_rate)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -91,8 +104,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, lse_ref, *,
 # ---------------------------------------------------------------------------
 
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                     kvlen_ref, dk_ref, dv_ref, *,
-                     block_q: int, sm_scale: float, t_pad: int):
+                     kvlen_ref, seed_ref, dk_ref, dv_ref, *,
+                     block_q: int, sm_scale: float, t_pad: int,
+                     dropout_rate: float):
     block_k, d = k_ref.shape[2], k_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
     kb_start = pl.program_id(2) * block_k
@@ -101,6 +115,9 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     v_blk = v_ref[0, 0].astype(jnp.float32)
     k_idx = kb_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     k_valid = (k_idx < kv_len).astype(jnp.float32)            # [1, BK]
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        bi, hi = pl.program_id(1), pl.program_id(0)
 
     def body(i, carry):
         dk_acc, dv_acc = carry
@@ -118,11 +135,26 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # a 0 mask is NaN — which would poison every gradient.
         s = jnp.where(k_valid > 0, s, NEG_INF)
         p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))   # [BQ, BK]
+        if dropout_rate > 0.0:
+            # dV uses the DROPPED probabilities; dS = P*(D*(dO V^T) - delta)
+            # — delta = rowsum(dO*O) is invariant (dropout_mask.py docs).
+            from .dropout_mask import keep_mask_f32
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            keepf = keep_mask_f32(seed, bi, hi, q_idx,
+                                  kb_start + jax.lax.broadcasted_iota(
+                                      jnp.int32, (block_q, block_k), 1),
+                                  dropout_rate)
+        else:
+            keepf = None
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p * keepf if keepf is not None else p, do_blk,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if keepf is not None:
+            dp = dp * keepf
         ds = p * (dp - delta) * sm_scale                      # [BQ, BK]
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
@@ -137,14 +169,20 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   kvlen_ref, dq_ref, *,
-                   block_k: int, sm_scale: float, t_pad: int):
+                   kvlen_ref, seed_ref, dq_ref, *,
+                   block_k: int, sm_scale: float, t_pad: int,
+                   dropout_rate: float):
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[0, 0, 0]
     q = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0]       # [BLOCK_Q, 128] lane-broadcast
     delta = delta_ref[0, 0]   # [BLOCK_Q, 1]
+    if dropout_rate > 0.0:
+        seed = seed_ref[0, 0]
+        bi, hi = pl.program_id(2), pl.program_id(0)
+        q_idx = (pl.program_id(1) * block_q
+                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
 
     def body(i, dq_acc):
         k_start = pl.multiple_of(i * block_k, block_k)
@@ -160,6 +198,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         p = jnp.exp(s - jnp.tile(lse, (1, block_k // 128)))
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            from .dropout_mask import keep_mask_f32
+            dp = dp * keep_mask_f32(seed, bi, hi, q_idx, k_idx,
+                                    dropout_rate)
         ds = p * (dp - delta) * sm_scale
         return dq_acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
@@ -192,12 +234,20 @@ def _pad_inputs(q, k, v, kv_len, block_q, block_k):
 
 
 
-def _fwd_impl(q, k, v, kv_len, block_q, block_k):
+def _seed_arr(dropout_seed):
+    """Replicated [1,1] int32 SMEM operand (zeros when dropout is off)."""
+    if dropout_seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+
+def _fwd_impl(q, k, v, kv_len, seed, block_q, block_k, dropout_rate):
     b, h, t, d = q.shape
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
     grid = (h, t_pad // block_q, b)
     kernel = functools.partial(_fwd_kernel, block_k=block_k,
-                               sm_scale=1.0 / np.sqrt(d), t_pad=t_pad)
+                               sm_scale=1.0 / np.sqrt(d), t_pad=t_pad,
+                               dropout_rate=dropout_rate)
     out, lse = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[
@@ -209,6 +259,8 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, qi, bi: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -220,19 +272,32 @@ def _fwd_impl(q, k, v, kv_len, block_q, block_k):
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, t_pad, 128), jnp.float32)),
         interpret=_interpret(),
-    )(qp, kp, vp, kv_arr)
+    )(qp, kp, vp, kv_arr, seed)
     return out[:, :, :t], lse[:, :, :t, 0]
 
 
 def flash_attention_trainable(q, k, v, kv_len=None,
                               block_q: Optional[int] = None,
                               block_k: Optional[int] = None,
-                              mesh=None):
+                              mesh=None,
+                              dropout_rate: float = 0.0,
+                              dropout_seed=None):
     """Differentiable fused attention (no bias). q/k/v: [B,H,T,D].
 
     ``mesh``: run the kernels per-shard under shard_map over a
     ('data','model') mesh (batch on 'data', heads on 'model') —
     see flash_attention.shard_wrap.
+
+    ``dropout_rate``/``dropout_seed``: IN-KERNEL attention-probability
+    dropout with torch semantics (inverted dropout on the softmax output,
+    rows not renormalized — what ``nn.MultiheadAttention(dropout=...)``
+    does in training). The mask is a pure hash of (seed, b, h, q, k)
+    (ops/pallas/dropout_mask.py) so the backward kernels regenerate it
+    exactly at any tiling — no [B,H,T,T] mask is ever materialized, which
+    is the whole point: strict-semantics dropout training keeps the flash
+    path's memory ceiling. ``dropout_rate`` must be a static float;
+    ``dropout_seed`` is a traced int32 scalar (derive it from the step's
+    PRNG key). rate == 0.0 compiles to exactly the old kernels.
 
     Defaults are the serving-sweep optimum shared with flash_attention
     (full-row k blocks = single-pass softmax, wide q tiles). Blocks shrink
@@ -244,6 +309,10 @@ def flash_attention_trainable(q, k, v, kv_len=None,
     t, d = q.shape[2], q.shape[3]
     block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
     block_k = DEFAULT_BLOCK_K if block_k is None else block_k
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = _seed_arr(dropout_seed)
     if d >= 256:
         # Wide heads: full-T k/v streams scale with D. bf16 inference
         # still affords 256-row q tiles with full-row k; f32 needs 128s
@@ -260,29 +329,45 @@ def flash_attention_trainable(q, k, v, kv_len=None,
         from jax.sharding import PartitionSpec as P
         from .flash_attention import shard_wrap
         hax = "model" if mesh.shape.get("model", 1) > 1 else None
-        core = lambda q_, k_, v_, l_: _flash_trainable_core(
-            q_, k_, v_, l_, block_q, block_k)
+
+        def core(q_, k_, v_, l_, s_):
+            if dropout_rate > 0.0:
+                # decorrelate masks across shards: the kernels see
+                # shard-LOCAL b/h indices, so without this every data
+                # shard would reuse the same mask pattern.
+                from .dropout_mask import _C_K, _C_Q
+                s_ = s_ + jax.lax.axis_index("data") * jnp.int32(_C_Q)
+                if hax is not None:
+                    s_ = s_ + jax.lax.axis_index(hax) * jnp.int32(_C_K)
+            return _flash_trainable_core(q_, k_, v_, l_, s_,
+                                         block_q, block_k, dropout_rate)
+
         fn = shard_wrap(core, mesh, per_arg_specs=(
             P("data", hax, None, None), P("data", hax, None, None),
             P("data", hax, None, None),
-            P("data") if kv_len is not None else None))
-        return fn(q, k, v, kv_len)
-    return _flash_trainable_core(q, k, v, kv_len, block_q, block_k)
+            P("data") if kv_len is not None else None,
+            P()))
+        return fn(q, k, v, kv_len, seed)
+    return _flash_trainable_core(q, k, v, kv_len, seed,
+                                 block_q, block_k, dropout_rate)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_trainable_core(q, k, v, kv_len, block_q, block_k):
-    out, _ = _fwd_impl(q, k, v, kv_len, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_trainable_core(q, k, v, kv_len, seed, block_q, block_k,
+                          dropout_rate):
+    out, _ = _fwd_impl(q, k, v, kv_len, seed, block_q, block_k,
+                       dropout_rate)
     return out
 
 
-def _vjp_fwd(q, k, v, kv_len, block_q, block_k):
-    out, lse = _fwd_impl(q, k, v, kv_len, block_q, block_k)
-    return out, (q, k, v, kv_len, out, lse)
+def _vjp_fwd(q, k, v, kv_len, seed, block_q, block_k, dropout_rate):
+    out, lse = _fwd_impl(q, k, v, kv_len, seed, block_q, block_k,
+                         dropout_rate)
+    return out, (q, k, v, kv_len, seed, out, lse)
 
 
-def _vjp_bwd(block_q, block_k, residuals, g):
-    q, k, v, kv_len, out, lse = residuals
+def _vjp_bwd(block_q, block_k, dropout_rate, residuals, g):
+    q, k, v, kv_len, seed, out, lse = residuals
     b, h, t, d = q.shape
     # The bwd keeps full-T streams in VMEM; shrink wide forward tiles to
     # its own divisor-aligned budget and re-pad the saved lse accordingly
@@ -316,7 +401,8 @@ def _vjp_bwd(block_q, block_k, residuals, g):
 
     dkv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, block_q=block_q,
-                          sm_scale=sm_scale, t_pad=t_pad),
+                          sm_scale=sm_scale, t_pad=t_pad,
+                          dropout_rate=dropout_rate),
         grid=(h, b, t_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, 1, t_pad, d), lambda hi, bi, ki: (bi, hi, 0, 0),
@@ -334,6 +420,8 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, bi, ki: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, bi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, d), lambda hi, bi, ki: (bi, hi, ki, 0),
@@ -344,12 +432,13 @@ def _vjp_bwd(block_q, block_k, residuals, g):
         out_shape=(jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype)),
         interpret=_interpret(),
-    )(qp, kp, vp, do, lse, delta, kv_arr)
+    )(qp, kp, vp, do, lse, delta, kv_arr, seed)
     dk, dv = dkv
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k,
-                          sm_scale=sm_scale, t_pad=t_pad),
+                          sm_scale=sm_scale, t_pad=t_pad,
+                          dropout_rate=dropout_rate),
         grid=(h, t_pad // block_q, b),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -368,15 +457,17 @@ def _vjp_bwd(block_q, block_k, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda hi, qi, bi: (0, 0),
+                         memory_space=pltpu.SMEM),      # dropout seed
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda hi, qi, bi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
         interpret=_interpret(),
-    )(qp, kp, vp, do, lse, delta, kv_arr)
+    )(qp, kp, vp, do, lse, delta, kv_arr, seed)
 
-    return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], None
+    return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], None, None
 
 
 _flash_trainable_core.defvjp(_vjp_fwd, _vjp_bwd)

@@ -757,22 +757,9 @@ def train(config_path: str = "config.yaml",
         # are psum'd by shard_map's AD) — no more pure-XLA fallback.
         import dataclasses
         arch = dataclasses.replace(arch, use_flash_attention=True)
-        if (arch.strict_attention_dropout
-                and ((arch.wavlm is not None
-                      and arch.wavlm.attention_dropout > 0)
-                     or (arch.num_conformer_layers > 0
-                         and arch.conformer_dropout > 0))):
-            # The strict path materializes [B,H,T,T] scores (+ backward
-            # residuals) in the layers where a prob-dropout rate applies;
-            # at 30 s clips that OOMs a 16 GB chip at any B >= 4 (the
-            # measured reason the flash VJP exists, docs/PERFORMANCE.md).
-            print("WARNING: training.strict_attention_dropout bypasses the "
-                  "flash-attention kernel wherever an attention-dropout "
-                  "rate applies and materializes [B,H,T,T] score tensors. "
-                  "At 30 s clips this is known to exceed 16 GB HBM for "
-                  "B>=4; use short clips / small batches, or the default "
-                  "post-projection substitute (measured equivalent — "
-                  "docs/PERFORMANCE.md attention-dropout A/B).", flush=True)
+        # strict_attention_dropout composes with flash: the prob-level
+        # dropout runs IN-KERNEL (ops/pallas/dropout_mask.py), so strict
+        # training keeps the flash path's memory ceiling.
         if arch.whisper is not None:
             arch = dataclasses.replace(arch, whisper=dataclasses.replace(
                 arch.whisper, use_flash_attention=True))
