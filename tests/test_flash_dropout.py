@@ -142,12 +142,67 @@ def test_wavlm_kernel_matches_oracle_incl_dbias_dgate():
                                    err_msg=f"d{name}")
 
 
-def test_strict_flash_wavlm_encode_keyed_and_memory_path():
+def test_mesh_masks_bit_identical_to_unsharded():
+    """Dropout on a mesh: shard_map kernels see shard-LOCAL b/h indices;
+    the wrapper offsets the seed by the shard origin through the hash's
+    linear b/h pre-mix, so the masks — and hence outputs and grads — are
+    BIT-identical to the unsharded call (both data and model axes)."""
+    from wfl_asr_tpu.ops.pallas.flash_attention import flash_attention
+    from wfl_asr_tpu.ops.pallas.flash_attention_bwd import (
+        flash_attention_trainable)
+    from wfl_asr_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(6)
+    b, h, t, d = 8, 4, 128, 32
+    q, k, v = (_rand(rng, b, h, t, d) for _ in range(3))
+    kv_len = jnp.asarray([t - (i % 3) for i in range(b)], jnp.int32)
+    seed, rate = jnp.int32(99), 0.35
+
+    mesh = make_mesh(model_parallel=2)          # (data=4, model=2)
+    for fn, args in ((flash_attention_trainable, (q, k, v, kv_len)),
+                     (flash_attention,
+                      (q, k, v,
+                       jnp.asarray(rng.randn(h, t, t), jnp.float32) * 0.2,
+                       jnp.asarray(rng.rand(b, h, t), jnp.float32) + 0.5,
+                       kv_len))):
+        ref = fn(*args, dropout_rate=rate, dropout_seed=seed)
+        out = fn(*args, mesh=mesh, dropout_rate=rate, dropout_seed=seed)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # grads ride the same regenerated masks: dq must also bit-match
+        gref = jax.grad(lambda q_: jnp.sum(fn(
+            q_, *args[1:], dropout_rate=rate, dropout_seed=seed)))(q)
+        gdp = jax.grad(lambda q_: jnp.sum(fn(
+            q_, *args[1:], mesh=mesh, dropout_rate=rate,
+            dropout_seed=seed)))(q)
+        np.testing.assert_allclose(np.asarray(gdp), np.asarray(gref),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_strict_flash_wavlm_encode_keyed_and_memory_path(monkeypatch):
     """wavlm_encode with strict dropout + flash: keyed-deterministic,
-    seed-sensitive, and inference (deterministic) is unaffected."""
+    seed-sensitive, and inference (deterministic) is unaffected. The
+    fixture is short-T f32, which would route to the XLA branch — pin
+    FLASH_MIN_T down and record the kernel call so the test provably
+    drives the in-kernel dropout wiring (_attend's drop dict)."""
     import dataclasses
     import __graft_entry__ as graft
+    from wfl_asr_tpu.models import wavlm as wavlm_mod
     from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+    import importlib
+    # the ops.pallas package re-exports the function under the submodule's
+    # name, so plain `import ... as` grabs the function — go via importlib
+    fa_mod = importlib.import_module(
+        "wfl_asr_tpu.ops.pallas.flash_attention")
+
+    monkeypatch.setattr(wavlm_mod, "FLASH_MIN_T", 1)
+    calls = []
+    real_flash = fa_mod.flash_attention
+
+    def recording_flash(*a, **kw):
+        calls.append(kw.get("dropout_rate", 0.0))
+        return real_flash(*a, **kw)
+
+    monkeypatch.setattr(fa_mod, "flash_attention", recording_flash)
 
     wl = graft._flagship_arch(tiny=True).wavlm
     arch = dataclasses.replace(wl, attention_dropout=0.3,
@@ -160,6 +215,8 @@ def test_strict_flash_wavlm_encode_keyed_and_memory_path():
     run = jax.jit(lambda p, a, k: wavlm_encode(p, arch, a, rng=k,
                                                deterministic=False))
     o1 = run(params, audio, jax.random.PRNGKey(4))
+    # every layer traced through the flash kernel with the dropout rate
+    assert calls and all(r == 0.3 for r in calls)
     o2 = run(params, audio, jax.random.PRNGKey(4))
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     o3 = run(params, audio, jax.random.PRNGKey(5))

@@ -54,6 +54,14 @@ def _i32(x):
     return jnp.asarray(x).astype(jnp.int32)
 
 
+def seed_arr(dropout_seed):
+    """Replicated [1,1] int32 SMEM operand for the flash kernels
+    (zeros when dropout is off)."""
+    if dropout_seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+
 def uniform24(seed, b, h, q_idx, k_idx) -> jnp.ndarray:
     """24-bit uniform integer in [0, 2^24) per (seed, b, h, q, k).
 
@@ -88,9 +96,11 @@ def keep_mask_f32(seed, b, h, q_idx, k_idx, rate: float) -> jnp.ndarray:
 def attention_prob_dropout_reference(probs: jnp.ndarray, seed,
                                      rate: float) -> jnp.ndarray:
     """jnp oracle with the EXACT kernel mask: apply torch-semantics
-    dropout to a [B, H, Tq, Tk] probability tensor. Used by tests and by
-    the XLA strict path when bit-agreement with the flash kernels is
-    wanted."""
+    dropout to a [B, H, Tq, Tk] probability tensor. Test-only — the
+    oracle the flash kernels' cotangents are pinned against
+    (tests/test_flash_dropout.py). The production XLA strict path
+    (models/layers.attention_core) uses jax.random dropout instead:
+    same distribution, different mask bits."""
     bb, hh, tq, tk = probs.shape
     q_idx = jnp.arange(tq, dtype=jnp.int32)[:, None]
     k_idx = jnp.arange(tk, dtype=jnp.int32)[None, :]

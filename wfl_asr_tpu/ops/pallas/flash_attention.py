@@ -186,13 +186,6 @@ def _prep_inputs(q, k, v, bias, gate, kv_len, block_q, block_k):
     return qp, kp, vp, bias_p, gate_p, kv_arr.reshape(b, 1, 1), t_pad
 
 
-def _seed_arr(dropout_seed):
-    """Replicated [1,1] int32 SMEM operand (zeros when dropout is off)."""
-    if dropout_seed is None:
-        return jnp.zeros((1, 1), jnp.int32)
-    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
-
-
 def _fwd_impl(q, k, v, bias, gate, kv_len, seed, block_q, block_k,
               want_lse, dropout_rate=0.0):
     b, h, t, d = q.shape
@@ -686,7 +679,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dropout_rate = float(dropout_rate)
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
-    seed = _seed_arr(dropout_seed)
+    from .dropout_mask import seed_arr
+    seed = seed_arr(dropout_seed)
     if q.shape[-1] >= 256:
         # Wide heads: the bwd kernels keep full-T streams in VMEM; shrink
         # blocks to stay inside the ~16 MB budget (see flash_attention_bwd).
@@ -712,12 +706,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
         def core(q_, k_, v_, b_, g_, l_, s_):
             if dropout_rate > 0.0:
-                # decorrelate masks across shards (kernels see shard-LOCAL
-                # b/h indices)
-                from .dropout_mask import _C_K, _C_Q
-                s_ = s_ + jax.lax.axis_index("data") * jnp.int32(_C_Q)
+                # The kernels see shard-LOCAL b/h indices. The hash
+                # pre-mix is linear in b and h (u = ... + b*_C_B + h*_C_H,
+                # dropout_mask.uniform24), so offsetting the seed by the
+                # shard's global index origin makes local indices hash
+                # exactly like global ones — the mesh masks are BIT-
+                # IDENTICAL to the unsharded call's (tested in
+                # tests/test_flash_dropout.py).
+                from .dropout_mask import _C_B, _C_H
+                s_ = s_ + (jax.lax.axis_index("data").astype(jnp.int32)
+                           * jnp.int32(q_.shape[0]) * jnp.int32(_C_B))
                 if hax is not None:
-                    s_ = s_ + jax.lax.axis_index(hax) * jnp.int32(_C_K)
+                    s_ = s_ + (jax.lax.axis_index(hax).astype(jnp.int32)
+                               * jnp.int32(q_.shape[1]) * jnp.int32(_C_H))
             return _flash_core(q_, k_, v_, b_, g_, l_, s_,
                                block_q, block_k, dropout_rate)
 

@@ -234,13 +234,6 @@ def _pad_inputs(q, k, v, kv_len, block_q, block_k):
 
 
 
-def _seed_arr(dropout_seed):
-    """Replicated [1,1] int32 SMEM operand (zeros when dropout is off)."""
-    if dropout_seed is None:
-        return jnp.zeros((1, 1), jnp.int32)
-    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
-
-
 def _fwd_impl(q, k, v, kv_len, seed, block_q, block_k, dropout_rate):
     b, h, t, d = q.shape
     qp, kp, vp, kv_arr, t_pad = _pad_inputs(q, k, v, kv_len, block_q, block_k)
@@ -312,7 +305,8 @@ def flash_attention_trainable(q, k, v, kv_len=None,
     dropout_rate = float(dropout_rate)
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
-    seed = _seed_arr(dropout_seed)
+    from .dropout_mask import seed_arr
+    seed = seed_arr(dropout_seed)
     if d >= 256:
         # Wide heads: full-T k/v streams scale with D. bf16 inference
         # still affords 256-row q tiles with full-row k; f32 needs 128s
@@ -332,13 +326,18 @@ def flash_attention_trainable(q, k, v, kv_len=None,
 
         def core(q_, k_, v_, l_, s_):
             if dropout_rate > 0.0:
-                # decorrelate masks across shards: the kernels see
-                # shard-LOCAL b/h indices, so without this every data
-                # shard would reuse the same mask pattern.
-                from .dropout_mask import _C_K, _C_Q
-                s_ = s_ + jax.lax.axis_index("data") * jnp.int32(_C_Q)
+                # The kernels see shard-LOCAL b/h indices; the hash
+                # pre-mix is linear in b/h, so offsetting the seed by the
+                # shard's global index origin (local_size * axis_index *
+                # the b/h mix constants) makes the mesh masks BIT-
+                # IDENTICAL to the unsharded call's — see the matching
+                # note in flash_attention.py.
+                from .dropout_mask import _C_B, _C_H
+                s_ = s_ + (jax.lax.axis_index("data").astype(jnp.int32)
+                           * jnp.int32(q_.shape[0]) * jnp.int32(_C_B))
                 if hax is not None:
-                    s_ = s_ + jax.lax.axis_index(hax) * jnp.int32(_C_K)
+                    s_ = s_ + (jax.lax.axis_index(hax).astype(jnp.int32)
+                               * jnp.int32(q_.shape[1]) * jnp.int32(_C_H))
             return _flash_trainable_core(q_, k_, v_, l_, s_,
                                          block_q, block_k, dropout_rate)
 
