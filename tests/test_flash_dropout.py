@@ -178,6 +178,44 @@ def test_mesh_masks_bit_identical_to_unsharded():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_strict_flash_conformer_block_path(monkeypatch):
+    """conformer_block with strict dropout + flash drives the in-kernel
+    dropout (heads.py drop-dict wiring): the rate reaches the kernel,
+    output is keyed-deterministic and differs from the non-strict path."""
+    import importlib
+    from wfl_asr_tpu.models import heads as H
+    from wfl_asr_tpu.models import wavlm as wavlm_mod
+    from wfl_asr_tpu.models.layers import RngStream
+
+    monkeypatch.setattr(wavlm_mod, "FLASH_MIN_T", 1)
+    fb_mod = importlib.import_module(
+        "wfl_asr_tpu.ops.pallas.flash_attention_bwd")
+    calls = []
+    real = fb_mod.flash_attention_trainable
+
+    def recording(*a, **kw):
+        calls.append(kw.get("dropout_rate", 0.0))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fb_mod, "flash_attention_trainable", recording)
+
+    params, state = H.init_conformer_block(jax.random.PRNGKey(0), 16, 2, 2, 7)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+
+    def run(strict, rate, seed):
+        return H.conformer_block(
+            params, state, x, 2, 7, rate, RngStream(jax.random.PRNGKey(seed)),
+            deterministic=False, train=True, use_flash=True,
+            strict_attn_dropout=strict)[0]
+
+    a = run(True, 0.4, 5)
+    assert calls and calls[-1] == 0.4      # the kernel saw the rate
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(run(True, 0.4, 5)))
+    assert not np.allclose(np.asarray(a), np.asarray(run(True, 0.4, 6)))
+    assert not np.allclose(np.asarray(a), np.asarray(run(False, 0.4, 5)))
+
+
 def test_strict_flash_wavlm_encode_keyed_and_memory_path(monkeypatch):
     """wavlm_encode with strict dropout + flash: keyed-deterministic,
     seed-sensitive, and inference (deterministic) is unaffected. The

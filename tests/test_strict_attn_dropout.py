@@ -4,10 +4,11 @@ The reference trains through modules that drop attention *probabilities*:
 HF WavLM's ``attention_dropout`` (reference model.py:72-81 via
 from_pretrained) and ``nn.MultiheadAttention(dropout=...)`` in the
 Conformer block (reference model.py:25). The default build substitutes a
-post-projection dropout (the fused flash softmax cannot drop inside the
-kernel); the strict flag instead forces the XLA attention path during
-training and applies true prob-level dropout there — torch semantics:
-inverted dropout on the softmax output, rows NOT renormalized.
+post-projection dropout; the strict flag applies true prob-level dropout
+during training — torch semantics: inverted dropout on the softmax
+output, rows NOT renormalized. On the flash path it runs IN-KERNEL
+(ops/pallas/dropout_mask.py, covered by tests/test_flash_dropout.py);
+these tests pin the XLA-path semantics and the config/key contracts.
 """
 
 import dataclasses
