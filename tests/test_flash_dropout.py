@@ -142,6 +142,93 @@ def test_wavlm_kernel_matches_oracle_incl_dbias_dgate():
                                    err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("case", [
+    # (b, h, t, d, rate, dtype) — t values straddle the 128-lane granule
+    # and the default block bounds so several tilings are exercised
+    (1, 1, 64, 32, 0.1, np.float32),
+    (3, 2, 200, 64, 0.5, np.float32),
+    (2, 4, 384, 32, 0.25, np.float32),
+    (2, 2, 137, 64, 0.3, np.float32),
+    (2, 2, 160, 64, 0.2, "bfloat16"),
+])
+def test_dropout_fuzz_shapes_and_tilings(case):
+    """Kernel == oracle across shapes, rates, ragged kv_len, and dtypes
+    (fwd + dq/dk/dv) for the no-bias kernel; random per-case seeds."""
+    from wfl_asr_tpu.ops.pallas.flash_attention_bwd import (
+        flash_attention_trainable)
+
+    b, h, t, d, rate, dtype = case
+    dtype = jnp.bfloat16 if dtype == "bfloat16" else dtype
+    rng = np.random.RandomState(hash(case[:4]) % (2**31))
+    q, k, v = (jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3,
+                           dtype) for _ in range(3))
+    kv_len = jnp.asarray(rng.randint(max(1, t // 2), t + 1, size=(b,)),
+                         jnp.int32)
+    seed = jnp.int32(rng.randint(-2**31, 2**31 - 1))
+    tol = dict(atol=2e-2, rtol=2e-2) if dtype == jnp.bfloat16 else \
+        dict(atol=2e-6, rtol=1e-5)
+
+    def ref(q, k, v):
+        qf, kf, vf = (a.astype(jnp.float32) for a in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / np.sqrt(d)
+        mask = jnp.arange(t)[None, :] < kv_len[:, None]
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = attention_prob_dropout_reference(p, seed, rate)
+        # the kernel's PV matmul runs at the value dtype
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype).astype(
+            jnp.float32), vf).astype(q.dtype)
+
+    out = flash_attention_trainable(q, k, v, kv_len,
+                                    dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref(q, k, v), np.float32), **tol)
+
+    g = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3, dtype)
+    gk = jax.grad(lambda *a: jnp.sum((flash_attention_trainable(
+        *a, kv_len, dropout_rate=rate, dropout_seed=seed)
+        * g).astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum((ref(*a) * g).astype(jnp.float32)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, r in zip("qkv", gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32), **tol,
+                                   err_msg=f"d{name}")
+
+
+def test_strict_flash_remat_grad_parity(monkeypatch):
+    """In-kernel dropout composes with jax.checkpoint: remat REPLAYS the
+    forward kernel, and the hash mask (seed is data, not a side effect)
+    makes the replay bit-stable — grads match remat off, flash path on."""
+    import dataclasses
+    import __graft_entry__ as graft
+    from wfl_asr_tpu.models import wavlm as wavlm_mod
+    from wfl_asr_tpu.models.wavlm import init_wavlm, wavlm_encode
+
+    monkeypatch.setattr(wavlm_mod, "FLASH_MIN_T", 1)
+    wl = graft._flagship_arch(tiny=True).wavlm
+    arch = dataclasses.replace(wl, attention_dropout=0.3,
+                               strict_attention_dropout=True,
+                               use_flash_attention=True)
+    params = init_wavlm(jax.random.PRNGKey(0), arch)
+    rng = np.random.RandomState(8)
+    audio = jnp.asarray((rng.randn(2, 4000) * 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    def loss(p, remat):
+        return jnp.sum(wavlm_encode(p, arch, audio, rng=key,
+                                    deterministic=False, remat=remat) ** 2)
+
+    g_on = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    g_off = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    # jax.checkpoint restructures the backward graph, so tiny float
+    # reassociation deltas (measured ≤3e-6 abs) are expected — the mask
+    # itself is bit-stable (a replayed-mask mismatch would produce O(1)
+    # errors: a dropped-vs-kept element flips the whole contribution).
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g_on, g_off)
+
+
 def test_mesh_masks_bit_identical_to_unsharded():
     """Dropout on a mesh: shard_map kernels see shard-LOCAL b/h indices;
     the wrapper offsets the seed by the shard origin through the hash's
