@@ -3,10 +3,10 @@ post-projection substitute.
 
 The reference trains through HF WavLM's ``attention_dropout`` and
 ``nn.MultiheadAttention(dropout=...)`` (reference model.py:25, 72-81);
-this build's default substitutes post-projection hidden dropout because
-the fused flash softmax cannot drop probabilities in-kernel.
+this build's default substitutes post-projection hidden dropout.
 ``training.strict_attention_dropout`` provides the exact reference
-semantics on the XLA attention path — so the two arms of this experiment
+semantics (in-kernel on the flash path since the experiment ran; this
+CPU experiment exercised the XLA path) — so the two arms of this experiment
 are *this framework with reference dropout semantics* vs *this framework
 with the substitute*, everything else identical.
 
